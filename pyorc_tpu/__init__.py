@@ -1,0 +1,53 @@
+"""pyorc_tpu — TPU-native video velocimetry (LSPIV) framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of pyOpenRiverCam
+(reference: localdevices/pyorc): video of a river in, surface velocity fields
+and discharge out. The compute path (frame preprocessing, orthorectification,
+FFT-based PIV cross-correlation, mask chains, transect reductions) runs as
+fused XLA/Pallas kernels on TPU; the geometry core (camera model, PnP, CRS) is
+host-side float64 numpy; IO (video decode, netCDF, GeoTIFF) is host-side.
+"""
+
+__version__ = "0.1.0"
+
+from . import ndx
+from .ndx import DataArray, Dataset, open_dataset
+
+__all__ = [
+    "DataArray",
+    "Dataset",
+    "open_dataset",
+    "ndx",
+    "Video",
+    "CameraConfig",
+    "CrossSection",
+    "load_camera_config",
+    "get_camera_config",
+    "service",
+    "__version__",
+]
+
+
+def __getattr__(name):
+    # lazy imports keep `import pyorc_tpu` light and avoid jax import cost for CLI help
+    if name in ("Video",):
+        from .api.video import Video
+
+        return Video
+    if name in ("CameraConfig", "load_camera_config", "get_camera_config"):
+        from .api import cameraconfig
+
+        return getattr(cameraconfig, name)
+    if name == "CrossSection":
+        from .api.cross_section import CrossSection
+
+        return CrossSection
+    if name == "service":
+        from . import service
+
+        return service
+    if name == "sample_data":
+        from . import sample_data
+
+        return sample_data
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

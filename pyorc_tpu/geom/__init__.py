@@ -4,6 +4,6 @@ Host-side float64 numpy — these are tiny problems solved once per video; the
 device kernels consume the sampling grids this module produces.
 """
 
-from . import affine, camera, crs, shapes
+from . import affine, aoi, camera, crs, shapes
 
-__all__ = ["camera", "crs", "affine", "shapes"]
+__all__ = ["camera", "crs", "affine", "shapes", "aoi"]

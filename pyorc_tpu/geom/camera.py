@@ -112,8 +112,14 @@ def distort_normalized(pts: np.ndarray, dist_coeffs) -> np.ndarray:
     return np.stack([xd, yd], axis=-1)
 
 
-def undistort_normalized(pts: np.ndarray, dist_coeffs, iterations: int = 40) -> np.ndarray:
-    """Invert Brown–Conrady distortion via fixed-point iteration (as OpenCV does)."""
+def undistort_normalized(pts: np.ndarray, dist_coeffs, iterations: int = 5) -> np.ndarray:
+    """Invert Brown–Conrady distortion via fixed-point iteration.
+
+    The default of 5 iterations matches OpenCV's undistortPoints exactly.
+    This matters beyond speed: for strong barrel distortion the model is not
+    invertible near the image corners, and downstream behaviour (reference
+    parity) depends on the truncated iteration landing where OpenCV lands.
+    """
     k1, k2, p1, p2, k3, k4, k5, k6 = _dist8(dist_coeffs)
     xd, yd = pts[..., 0], pts[..., 1]
     x, y = xd.copy(), yd.copy()
@@ -375,7 +381,10 @@ def solve_p3p(obj_pts: np.ndarray, img_pts: np.ndarray, camera_matrix, dist_coef
     # dedupe near-identical solutions
     unique: List[Tuple[np.ndarray, np.ndarray]] = []
     for rv, tv in sols:
-        if not any(np.allclose(rv, rv2, atol=1e-6) and np.allclose(tv, tv2, atol=1e-6) for rv2, tv2 in unique):
+        if not any(
+            np.allclose(rv, rv2, rtol=0, atol=1e-6) and np.allclose(tv, tv2, rtol=0, atol=1e-6)
+            for rv2, tv2 in unique
+        ):
             unique.append((rv, tv))
     return unique
 

@@ -185,8 +185,10 @@ class MultiPoint(_Geom):
 class Polygon(_Geom):
     def __init__(self, shell):
         arr = _as_coords(shell)
-        # drop an explicit closing point; we treat the ring as implicitly closed
-        if len(arr) > 1 and np.allclose(arr[0], arr[-1]):
+        # drop an explicit closing point; we treat the ring as implicitly closed.
+        # NB: absolute tolerance only — relative tolerance would collapse distinct
+        # corners at large (UTM) coordinate magnitudes.
+        if len(arr) > 1 and np.max(np.abs(arr[0] - arr[-1])) < 1e-9:
             arr = arr[:-1]
         self._ring = arr
 

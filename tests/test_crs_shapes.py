@@ -52,22 +52,51 @@ def test_crs_user_inputs():
 
 
 def test_affine_roundtrip():
-    t = aff.Affine(0.01, 0.002, 642730.0, -0.002, 0.01, 8304293.0)
-    cols = np.array([0.0, 10, 55.5])
-    rows = np.array([0.0, 7, 20.25])
+    # rotated equal-resolution grid transform (dy_col == dx_row as the pipeline produces)
+    theta = 0.3
+    res = 0.01
+    t = aff.Affine(
+        np.cos(theta) * res,
+        np.sin(theta) * res,
+        642730.0,
+        np.cos(theta + 1.5 * np.pi) * res,
+        np.sin(theta + 1.5 * np.pi) * res,
+        8304293.0,
+    )
+    cols = np.array([0.0, 10, 55])
+    rows = np.array([0.0, 7, 20])
     x, y = aff.pixel_to_map(cols, rows, t)
-    c2, r2 = aff.map_to_pixel(x, y, t)
-    assert np.allclose(c2, cols, atol=1e-9)
-    assert np.allclose(r2, rows, atol=1e-9)
+    r2, c2 = aff.map_to_pixel(x, y, t)
+    assert np.allclose(c2, cols)
+    assert np.allclose(r2, rows)
+    rf, cf = aff.map_to_pixel_float(x, y, t)
+    assert np.allclose(cf, cols, atol=1e-9)
+    assert np.allclose(rf, rows, atol=1e-9)
 
 
 def test_affine_from_grid():
-    # build rotated grid and recover its affine
-    t = aff.affine_to_transform(np.array([[10.0, 20.0], [14.0, 23.0], [0, 0], [0, 0]]), resolution=0.5)
+    from pyorc_tpu.geom import aoi, shapes
+
+    bbox = shapes.Polygon([(10.0, 20.0), (14.0, 23.0), (12.0, 25.66), (8.0, 22.66)])
+    t = aoi.get_transform(bbox, resolution=0.5)
     cols, rows = np.meshgrid(np.arange(8), np.arange(5))
     x, y = aff.pixel_to_map(cols, rows, t)
     t2 = aff.affine_from_grid(x, y)
-    assert np.allclose(tuple(t), tuple(t2), atol=1e-9)
+    # affine_from_grid uses cell centres as origin; steps must agree
+    assert np.allclose(tuple(t)[0:2], tuple(t2)[0:2], atol=1e-9)
+    assert np.allclose(tuple(t)[3:5], tuple(t2)[3:5], atol=1e-9)
+
+
+def test_get_aoi_corners_and_shape():
+    from pyorc_tpu.geom import aoi
+
+    corners = np.array([[0.0, 0.0], [10.0, 1.0], [9.5, 6.0], [-0.5, 5.0]])
+    bbox = aoi.get_aoi(corners, resolution=0.01)
+    assert bbox.area > 0
+    cols, rows = aoi.get_shape(bbox, resolution=0.1)
+    # aoi spans roughly 10m x 5m
+    assert 80 < cols < 120
+    assert 35 < rows < 65
 
 
 def test_polygon_basics():

@@ -1,0 +1,100 @@
+"""Benchmark: PIV frame-pairs/sec/chip at 64x64-window correlation.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+North-star metric (BASELINE.json): frame-pairs/sec/chip at 64x64-window PIV
+on 1080p-scale frames. The reference publishes no absolute numbers
+(BASELINE.md "published": {}), so vs_baseline compares against a same-
+algorithm numpy implementation on this host scaled x10 — the reference's
+production engine (numba) is documented as "almost an order of magnitude"
+faster than its numpy engine (reference pyorc/api/frames.py:136-138), so
+x10-numpy is the bar for beating the reference CPU engine.
+
+Timing notes: on the tunneled TPU backend, ``block_until_ready`` resolves on
+the remote handle without waiting for execution, so each rep materializes a
+scalar reduction of all outputs — this forces full device computation while
+moving only bytes across the tunnel.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def run_numpy_reference(imgs, sas, overlap):
+    """Plain numpy same-algorithm implementation (baseline proxy). Returns seconds/pair."""
+    from pyorc_tpu.ops import windows as win
+
+    row0, col0 = win.get_window_starts(imgs.shape[-2:], sas, overlap)
+    wy, wx = sas
+    t0 = time.perf_counter()
+    iy = (row0[:, None] + np.arange(wy)).ravel()
+    ix = (col0[:, None] + np.arange(wx)).ravel()
+    w = imgs[:, iy][:, :, ix].reshape(imgs.shape[0], len(row0), wy, len(col0), wx)
+    w = np.moveaxis(w, 3, 2).reshape(imgs.shape[0], -1, wy, wx).astype(np.float32)
+    a = w[:-1] - w[:-1].mean(axis=(-2, -1), keepdims=True)
+    b = w[1:] - w[1:].mean(axis=(-2, -1), keepdims=True)
+    fa = np.fft.rfft2(a)
+    fb = np.fft.rfft2(b)
+    corr = np.fft.irfft2(np.conj(fa) * fb, s=(wy, wx))
+    corr = np.fft.fftshift(corr, axes=(-2, -1))
+    sa = a.std(axis=(-2, -1))
+    sb = b.std(axis=(-2, -1))
+    corr = np.clip(corr / np.maximum(wy * wx * sa * sb, 1e-10)[..., None, None], 0, None)
+    peak = corr.reshape(corr.shape[0], corr.shape[1], -1).argmax(axis=-1)
+    _ = peak // wx
+    _ = peak % wx
+    return (time.perf_counter() - t0) / (imgs.shape[0] - 1)
+
+
+def main():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from pyorc_tpu.ops import piv, windows
+
+    h, w = 1088, 1920
+    sas = (64, 64)
+    overlap = (32, 32)
+    n_frames = 17  # 16 pairs per batch
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 255, size=(n_frames, h, w)).astype(np.float32)
+    n_rows, n_cols = windows.get_field_shape((h, w), sas, overlap)
+    n_pairs = n_frames - 1
+
+    @functools.partial(jax.jit, static_argnums=())
+    def step(frames):
+        u, v, corr_max, s2n = piv.piv_pairs(frames, (h, w), sas, overlap, n_rows, n_cols)
+        # scalar checksum: forces all outputs to be computed, transfers 4 bytes
+        return jnp.nansum(u) + jnp.nansum(v) + jnp.nansum(corr_max) + jnp.nansum(s2n)
+
+    dev_imgs = jax.device_put(imgs)
+    _ = float(step(dev_imgs))  # warmup/compile
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _ = float(step(dev_imgs))
+    dt = (time.perf_counter() - t0) / reps
+    pairs_per_sec = n_pairs / dt
+
+    # numpy baseline proxy on a small slice (linear in pairs)
+    sec_per_pair_numpy = run_numpy_reference(imgs[:5], sas, overlap)
+    baseline_pairs_per_sec = (1.0 / sec_per_pair_numpy) * 10  # numba ~ 10x numpy
+
+    print(
+        json.dumps(
+            {
+                "metric": "piv_frame_pairs_per_sec_per_chip_64x64_1080p",
+                "value": round(pairs_per_sec, 2),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_sec / baseline_pairs_per_sec, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

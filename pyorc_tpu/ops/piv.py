@@ -1,0 +1,304 @@
+"""FFT-based PIV cross-correlation engine (JAX/XLA, TPU-first).
+
+This replaces the reference's external native engine (``ffpiv.cross_corr`` +
+``ffpiv.u_v_displacement``, numba + rocket-fft; reference call sites
+``pyorc/velocimetry/ffpiv.py:222,324,450,471``) with a fully-jitted XLA
+pipeline:
+
+  window gather -> demean -> rfft2 -> conjugate spectral multiply -> irfft2
+  -> fftshift -> normalize to correlation coefficients -> stats (max, s2n)
+  -> 3-point Gaussian subpixel peak -> (u, v) displacements
+
+Everything is static-shaped and batched over (frame-pairs x windows), so XLA
+maps the FFTs and elementwise chains onto the TPU efficiently; frame pairs
+are embarrassingly parallel and can be sharded over devices (see
+:mod:`pyorc_tpu.parallel`). FP32 throughout — bf16 correlation fails the
+sub-0.01 m/s velocity parity target.
+
+Semantics notes (ffpiv's internals are not part of this repo's reference
+mount, so the contract is defined here and validated by synthetic-shift
+tests): correlation planes are normalized to Pearson-style coefficients
+(divide by n_pix * sigma_a * sigma_b), so ``corr_max`` is ~<= 1 and the
+reference's default thresholds (corr_min=0.2, s2n_min=3) keep their meaning;
+``u`` is +column displacement, ``v`` is -row displacement (towards +y on the
+projected grid whose y axis decreases with row index, reference
+``pyorc/api/frames.py:240``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import windows as win
+
+__all__ = [
+    "extract_windows",
+    "cross_corr",
+    "corr_stats",
+    "u_v_displacement",
+    "subpixel_peak",
+    "piv_pairs",
+    "piv_ensemble_scan",
+]
+
+
+def extract_windows(frames: jnp.ndarray, row0: np.ndarray, col0: np.ndarray, wy: int, wx: int) -> jnp.ndarray:
+    """Gather interrogation windows from frames.
+
+    Parameters
+    ----------
+    frames : jnp.ndarray [..., H, W]
+        one or more frames (leading axes arbitrary).
+    row0, col0 : np.ndarray
+        top-left offsets of the window bands per axis (static).
+    wy, wx : int
+        window height/width.
+
+    Returns
+    -------
+    jnp.ndarray [..., n_rows*n_cols, wy, wx]
+    """
+    iy = (np.asarray(row0)[:, None] + np.arange(wy)[None, :]).astype(np.int32)  # [n_rows, wy]
+    ix = (np.asarray(col0)[:, None] + np.arange(wx)[None, :]).astype(np.int32)  # [n_cols, wx]
+    # two single-axis takes lower to efficient XLA gathers along one dim each
+    out = jnp.take(frames, jnp.asarray(iy.ravel()), axis=-2)  # [..., n_rows*wy, W]
+    out = jnp.take(out, jnp.asarray(ix.ravel()), axis=-1)  # [..., n_rows*wy, n_cols*wx]
+    lead = frames.shape[:-2]
+    out = out.reshape(lead + (len(row0), wy, len(col0), wx))
+    out = jnp.moveaxis(out, -2, -3)  # [..., n_rows, n_cols, wy, wx]
+    return out.reshape(lead + (len(row0) * len(col0), wy, wx))
+
+
+def _normalized_corr_planes(win_a: jnp.ndarray, win_b: jnp.ndarray) -> jnp.ndarray:
+    """Circular normalized cross-correlation planes for window pairs.
+
+    win_a, win_b: [..., wy, wx] float32. Returns fftshifted planes, same shape.
+    """
+    wy, wx = win_a.shape[-2], win_a.shape[-1]
+    n_pix = wy * wx
+    a = win_a - jnp.mean(win_a, axis=(-2, -1), keepdims=True)
+    b = win_b - jnp.mean(win_b, axis=(-2, -1), keepdims=True)
+    sa = jnp.sqrt(jnp.mean(a * a, axis=(-2, -1)))
+    sb = jnp.sqrt(jnp.mean(b * b, axis=(-2, -1)))
+    fa = jnp.fft.rfft2(a)
+    fb = jnp.fft.rfft2(b)
+    corr = jnp.fft.irfft2(jnp.conj(fa) * fb, s=(wy, wx))
+    corr = jnp.fft.fftshift(corr, axes=(-2, -1))
+    denom = n_pix * sa * sb
+    corr = corr / jnp.maximum(denom, 1e-10)[..., None, None]
+    # clip negatives: a demeaned circular-correlation plane sums to exactly 0,
+    # so peak-to-mean s2n is only meaningful on the non-negative plane (this
+    # also matches the scale of the reference outputs' corr/s2n variables)
+    corr = jnp.maximum(corr, 0.0)
+    # kill zero-variance windows (uniform intensity -> no signal)
+    valid = (sa > 1e-6) & (sb > 1e-6)
+    return jnp.where(valid[..., None, None], corr, 0.0)
+
+
+def cross_corr(
+    imgs: jnp.ndarray,
+    window_size: Tuple[int, int],
+    overlap: Tuple[int, int],
+    search_area_size: Optional[Tuple[int, int]] = None,
+    normalize: bool = False,
+    signal_threshold: Optional[float] = None,
+) -> Tuple[np.ndarray, np.ndarray, jnp.ndarray]:
+    """Windowed FFT cross-correlation over all consecutive frame pairs.
+
+    Drop-in for the reference's ``ffpiv.cross_corr`` contract
+    (reference ``pyorc/velocimetry/ffpiv.py:222-231``).
+
+    Parameters
+    ----------
+    imgs : [T, H, W] array (uint8 or float)
+    window_size, overlap, search_area_size : (int, int)
+    normalize : bool
+        if set, window intensities are standardized before correlation
+        (the correlation planes are always coefficient-normalized).
+    signal_threshold : float, optional
+        windows whose fraction of non-zero pixels falls below this threshold
+        get NaN correlation planes (compute-all + mask: on TPU masking beats
+        data-dependent skipping).
+
+    Returns
+    -------
+    (x, y, corr) : window-centre cols, rows and [T-1, n_windows, wy, wx] planes.
+    """
+    sas = window_size if search_area_size is None else search_area_size
+    dim_size = imgs.shape[-2:]
+    cols, rows = win.get_rect_coordinates(dim_size, window_size, sas, overlap)
+    corr = _cross_corr_jit(
+        jnp.asarray(imgs),
+        dim_size,
+        tuple(win._as2(sas)),
+        tuple(win._as2(overlap)),
+        bool(normalize),
+        None if signal_threshold is None else float(signal_threshold),
+    )
+    return cols, rows, corr
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _cross_corr_jit(imgs, dim_size, sas, overlap, normalize, signal_threshold):
+    row0, col0 = win.get_window_starts(dim_size, sas, overlap)
+    frames = imgs.astype(jnp.float32)
+    w = extract_windows(frames, row0, col0, sas[0], sas[1])  # [T, nw, wy, wx]
+    if normalize:
+        mu = jnp.mean(w, axis=(-2, -1), keepdims=True)
+        sd = jnp.std(w, axis=(-2, -1), keepdims=True)
+        w = (w - mu) / jnp.maximum(sd, 1e-6)
+    corr = _normalized_corr_planes(w[:-1], w[1:])
+    if signal_threshold is not None:
+        signal = jnp.mean(w > 0, axis=(-2, -1))  # fraction of non-zero pixels
+        pair_signal = jnp.minimum(signal[:-1], signal[1:])
+        corr = jnp.where(pair_signal[..., None, None] >= signal_threshold, corr, jnp.nan)
+    return corr
+
+
+def corr_stats(corr: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(corr_max, s2n) per plane; s2n = max / mean (reference ffpiv.py:235-236)."""
+    corr_max = jnp.nanmax(corr, axis=(-2, -1))
+    corr_mean = jnp.nanmean(corr, axis=(-2, -1))
+    s2n = corr_max / corr_mean
+    return corr_max, s2n
+
+
+def subpixel_peak(corr: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Subpixel peak location per correlation plane via 3-point Gaussian fit.
+
+    corr: [..., wy, wx]. Returns (row_peak, col_peak) as float, measured from
+    the top-left of the plane. Fully vectorized: argmax + one-pixel-neighbour
+    gather + closed-form Gaussian interpolation (no data-dependent control
+    flow, as required for XLA/TPU).
+    """
+    wy, wx = corr.shape[-2], corr.shape[-1]
+    flat = corr.reshape(corr.shape[:-2] + (wy * wx,))
+    flat = jnp.where(jnp.isnan(flat), -jnp.inf, flat)
+    idx = jnp.argmax(flat, axis=-1)
+    iy = idx // wx
+    ix = idx % wx
+    # clamp peaks at borders so the 3-point stencil stays in range
+    iy_c = jnp.clip(iy, 1, wy - 2)
+    ix_c = jnp.clip(ix, 1, wx - 2)
+
+    def take_at(dy, dx):
+        lin = (iy_c + dy) * wx + (ix_c + dx)
+        return jnp.take_along_axis(flat, lin[..., None], axis=-1)[..., 0]
+
+    eps = 1e-10
+    c0 = jnp.maximum(take_at(0, 0), eps)
+    cl = jnp.maximum(take_at(0, -1), eps)
+    cr = jnp.maximum(take_at(0, 1), eps)
+    cu = jnp.maximum(take_at(-1, 0), eps)
+    cd = jnp.maximum(take_at(1, 0), eps)
+    log0 = jnp.log(c0)
+
+    def safe_div(num, den):
+        # the denominator is the (negative) log-curvature at the peak; keep its
+        # sign and only guard against division by ~zero
+        den = jnp.where(jnp.abs(den) < eps, -eps, den)
+        return num / den
+
+    dx = safe_div(jnp.log(cl) - jnp.log(cr), 2 * jnp.log(cl) - 4 * log0 + 2 * jnp.log(cr))
+    dy = safe_div(jnp.log(cu) - jnp.log(cd), 2 * jnp.log(cu) - 4 * log0 + 2 * jnp.log(cd))
+    dx = jnp.clip(jnp.nan_to_num(dx), -1.0, 1.0)
+    dy = jnp.clip(jnp.nan_to_num(dy), -1.0, 1.0)
+    # invalid planes (all -inf) -> NaN out
+    invalid = ~jnp.isfinite(c0)
+    row_peak = jnp.where(invalid, jnp.nan, iy_c.astype(jnp.float32) + dy)
+    col_peak = jnp.where(invalid, jnp.nan, ix_c.astype(jnp.float32) + dx)
+    return row_peak, col_peak
+
+
+def u_v_displacement(corr: jnp.ndarray, n_rows: int, n_cols: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Displacements (u, v) in pixels from correlation planes.
+
+    Drop-in for ``ffpiv.u_v_displacement`` (reference ffpiv.py:324,471):
+    u = +column displacement, v = -row displacement; output [..., n_rows, n_cols].
+    """
+    wy, wx = corr.shape[-2], corr.shape[-1]
+    row_peak, col_peak = subpixel_peak(corr)
+    u = col_peak - wx // 2
+    v = -(row_peak - wy // 2)
+    lead = corr.shape[:-3]
+    u = u.reshape(lead + (n_rows, n_cols))
+    v = v.reshape(lead + (n_rows, n_cols))
+    return u, v
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def piv_pairs(imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold=None):
+    """Full per-pair PIV: frames [T,H,W] -> (u, v, corr_max, s2n), each [T-1, n_rows, n_cols].
+
+    One fused jit: gather -> FFT corr -> stats -> subpixel. Displacements in
+    pixels (caller scales by resolution/dt).
+    """
+    corr = _cross_corr_jit(imgs, dim_size, sas, overlap, False, signal_threshold)
+    corr_max, s2n = corr_stats(corr)
+    u, v = u_v_displacement(corr, n_rows, n_cols)
+    corr_max = corr_max.reshape(-1, n_rows, n_cols)
+    s2n = s2n.reshape(-1, n_rows, n_cols)
+    return u, v, corr_max, s2n
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+def piv_ensemble_scan(
+    imgs,
+    dim_size,
+    sas,
+    overlap,
+    n_rows,
+    n_cols,
+    corr_min=0.2,
+    s2n_min=3.0,
+    signal_threshold=None,
+):
+    """Ensemble PIV over all frame pairs with a streaming accumulator.
+
+    Mirrors the reference's ensemble path (``_get_ffpiv_mean``,
+    reference ffpiv.py:182-376): per pair, planes failing (corr_min, s2n_min)
+    are zeroed and excluded from the count; the accumulated mean plane is the
+    caller's input to displacement extraction. Uses ``lax.scan`` over pairs
+    so the frame stack streams through VMEM-sized working sets instead of
+    materializing all correlation planes in HBM.
+
+    Returns (corr_sum [n_windows, wy, wx], corr_count [n_windows],
+    corr_max [T-1, n_rows, n_cols], s2n [T-1, n_rows, n_cols]).
+    """
+    row0, col0 = win.get_window_starts(dim_size, sas, overlap)
+    frames = imgs.astype(jnp.float32)
+    w = extract_windows(frames, row0, col0, sas[0], sas[1])  # [T, nw, wy, wx]
+    if signal_threshold is not None:
+        signal = jnp.mean(w > 0, axis=(-2, -1))
+    n_windows = w.shape[1]
+
+    def step(carry, pair):
+        corr_sum, corr_count = carry
+        wa, wb, sig_ok = pair
+        corr = _normalized_corr_planes(wa, wb)
+        corr = jnp.where(sig_ok[..., None, None], corr, jnp.nan)
+        corr_max = jnp.nanmax(corr, axis=(-2, -1))
+        s2n = corr_max / jnp.nanmean(corr, axis=(-2, -1))
+        ok = (corr_max >= corr_min) & (s2n >= s2n_min) & jnp.isfinite(corr_max)
+        corr = jnp.where(ok[..., None, None], corr, 0.0)
+        corr_sum = corr_sum + jnp.nan_to_num(corr)
+        corr_count = corr_count + ok.astype(jnp.float32)
+        out_max = jnp.where(ok, corr_max, 0.0)
+        out_s2n = jnp.where(ok, s2n, 0.0)
+        return (corr_sum, corr_count), (out_max, out_s2n)
+
+    if signal_threshold is not None:
+        sig_ok = jnp.minimum(signal[:-1], signal[1:]) >= signal_threshold
+    else:
+        sig_ok = jnp.ones((w.shape[0] - 1, n_windows), dtype=bool)
+    init = (
+        jnp.zeros((n_windows, sas[0], sas[1]), dtype=jnp.float32),
+        jnp.zeros((n_windows,), dtype=jnp.float32),
+    )
+    (corr_sum, corr_count), (corr_max, s2n) = jax.lax.scan(step, init, (w[:-1], w[1:], sig_ok))
+    return corr_sum, corr_count, corr_max.reshape(-1, n_rows, n_cols), s2n.reshape(-1, n_rows, n_cols)

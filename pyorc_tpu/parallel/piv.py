@@ -1,0 +1,174 @@
+"""Sharded PIV: frame pairs distributed over a 1-D device mesh.
+
+Frame pairs are embarrassingly parallel; consecutive pairs share one frame, so
+each device receives its contiguous slice of frames plus a one-frame halo
+(built on the host by stacking overlapping slices — cheaper than a device-side
+halo exchange for this access pattern). Per-timestep PIV needs no collectives
+at all; ensemble PIV reduces its correlation-sum/count accumulators with a
+``psum`` over the pair axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import piv as piv_ops
+from ..ops import windows as win
+
+__all__ = ["make_mesh", "piv_pairs_sharded", "piv_ensemble_sharded", "pad_pairs_for_devices"]
+
+
+def _pcast_varying(x, axis: str):
+    """Mark an array as varying over a shard_map axis (no-op copy if unsupported)."""
+    try:
+        return jax.lax.pcast(x, (axis,), to="varying")
+    except (AttributeError, TypeError):
+        return x
+
+
+def make_mesh(devices=None, axis: str = "pairs") -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def pad_pairs_for_devices(imgs: np.ndarray, n_dev: int) -> Tuple[np.ndarray, int]:
+    """Stack frames into per-device overlapping slices [D, P+1, H, W].
+
+    Pads by repeating the last frame so every device gets the same static
+    shape; padded pairs produce zero displacement and are dropped by the
+    caller using the returned true pair count.
+    """
+    t = imgs.shape[0]
+    n_pairs = t - 1
+    per_dev = -(-n_pairs // n_dev)  # ceil
+    total = per_dev * n_dev
+    pad = total - n_pairs
+    if pad > 0:
+        imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)], axis=0)
+    slices = [imgs[d * per_dev : d * per_dev + per_dev + 1] for d in range(n_dev)]
+    return np.stack(slices), n_pairs
+
+
+def piv_pairs_sharded(
+    imgs: np.ndarray,
+    window_size: Tuple[int, int],
+    overlap: Tuple[int, int],
+    search_area_size: Optional[Tuple[int, int]] = None,
+    mesh: Optional[Mesh] = None,
+    signal_threshold: Optional[float] = None,
+):
+    """Per-timestep PIV sharded over frame pairs.
+
+    Returns (u, v, corr_max, s2n) each [n_pairs, n_rows, n_cols] (numpy).
+    """
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    sas = tuple(win._as2(window_size if search_area_size is None else search_area_size))
+    ov = tuple(win._as2(overlap))
+    dim_size = imgs.shape[-2:]
+    n_rows, n_cols = win.get_field_shape(dim_size, sas, ov)
+    stacked, n_pairs = pad_pairs_for_devices(np.asarray(imgs), n_dev)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P("pairs"),
+        out_specs=P("pairs"),
+    )
+    def run(frames_dev):
+        # frames_dev: [1, P+1, H, W] on each device
+        u, v, cmax, s2n = piv_ops.piv_pairs(
+            frames_dev[0], dim_size, sas, ov, n_rows, n_cols, signal_threshold
+        )
+        return u[None], v[None], cmax[None], s2n[None]
+
+    sharding = NamedSharding(mesh, P("pairs"))
+    stacked_dev = jax.device_put(stacked, sharding)
+    u, v, cmax, s2n = jax.jit(run)(stacked_dev)
+    out = tuple(np.asarray(a).reshape(-1, n_rows, n_cols)[:n_pairs] for a in (u, v, cmax, s2n))
+    return out
+
+
+def piv_ensemble_sharded(
+    imgs: np.ndarray,
+    window_size: Tuple[int, int],
+    overlap: Tuple[int, int],
+    search_area_size: Optional[Tuple[int, int]] = None,
+    mesh: Optional[Mesh] = None,
+    corr_min: float = 0.2,
+    s2n_min: float = 3.0,
+    signal_threshold: Optional[float] = None,
+):
+    """Ensemble PIV sharded over frame pairs with psum-reduced accumulators.
+
+    Returns (corr_sum [n_windows, wy, wx], corr_count [n_windows],
+    corr_max [n_pairs, n_rows, n_cols], s2n [n_pairs, n_rows, n_cols]).
+    """
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    sas = tuple(win._as2(window_size if search_area_size is None else search_area_size))
+    ov = tuple(win._as2(overlap))
+    dim_size = imgs.shape[-2:]
+    n_rows, n_cols = win.get_field_shape(dim_size, sas, ov)
+    stacked, n_pairs = pad_pairs_for_devices(np.asarray(imgs), n_dev)
+    per_dev = stacked.shape[1] - 1
+    # mask out padded pairs inside the reduction
+    pair_valid = (np.arange(n_dev * per_dev) < n_pairs).reshape(n_dev, per_dev)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("pairs"), P("pairs")),
+        out_specs=(P(), P(), P("pairs"), P("pairs")),
+    )
+    def run(frames_dev, valid_dev):
+        frames = frames_dev[0]
+        valid = valid_dev[0]
+        row0, col0 = win.get_window_starts(dim_size, sas, ov)
+        w = piv_ops.extract_windows(frames.astype(jnp.float32), row0, col0, sas[0], sas[1])
+        n_windows = w.shape[1]
+        if signal_threshold is not None:
+            signal = jnp.mean(w > 0, axis=(-2, -1))
+            sig_ok = jnp.minimum(signal[:-1], signal[1:]) >= signal_threshold
+        else:
+            sig_ok = jnp.ones((w.shape[0] - 1, n_windows), dtype=bool)
+        sig_ok = sig_ok & valid[:, None]
+
+        def step(carry, pair):
+            corr_sum, corr_count = carry
+            wa, wb, ok_sig = pair
+            corr = piv_ops._normalized_corr_planes(wa, wb)
+            corr = jnp.where(ok_sig[..., None, None], corr, jnp.nan)
+            corr_max = jnp.nanmax(corr, axis=(-2, -1))
+            s2n = corr_max / jnp.nanmean(corr, axis=(-2, -1))
+            ok = (corr_max >= corr_min) & (s2n >= s2n_min) & jnp.isfinite(corr_max)
+            corr = jnp.where(ok[..., None, None], corr, 0.0)
+            return (
+                (corr_sum + jnp.nan_to_num(corr), corr_count + ok.astype(jnp.float32)),
+                (jnp.where(ok, corr_max, 0.0), jnp.where(ok, s2n, 0.0)),
+            )
+
+        # carry must be marked device-varying for the scan inside shard_map
+        init = (
+            _pcast_varying(jnp.zeros((n_windows, sas[0], sas[1]), dtype=jnp.float32), "pairs"),
+            _pcast_varying(jnp.zeros((n_windows,), dtype=jnp.float32), "pairs"),
+        )
+        (corr_sum, corr_count), (corr_max, s2n) = jax.lax.scan(step, init, (w[:-1], w[1:], sig_ok))
+        # the only collective in the pipeline: all-reduce the ensemble accumulators
+        corr_sum = jax.lax.psum(corr_sum, "pairs")
+        corr_count = jax.lax.psum(corr_count, "pairs")
+        return corr_sum, corr_count, corr_max[None], s2n[None]
+
+    sharding = NamedSharding(mesh, P("pairs"))
+    stacked_dev = jax.device_put(stacked, sharding)
+    valid_dev = jax.device_put(pair_valid, sharding)
+    corr_sum, corr_count, corr_max, s2n = jax.jit(run)(stacked_dev, valid_dev)
+    corr_max = np.asarray(corr_max).reshape(-1, n_rows, n_cols)[:n_pairs]
+    s2n = np.asarray(s2n).reshape(-1, n_rows, n_cols)[:n_pairs]
+    return np.asarray(corr_sum), np.asarray(corr_count), corr_max, s2n

@@ -1,0 +1,58 @@
+"""Sharded PIV on the virtual 8-device CPU mesh: results must match single-device."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from pyorc_tpu import parallel
+from pyorc_tpu.ops import piv, windows
+from test_piv import make_particle_image, shift_image
+
+
+@pytest.fixture(scope="module")
+def frame_stack(rng_mod=None):
+    rng = np.random.default_rng(7)
+    base = make_particle_image(rng, 128, 160)
+    frames = [base]
+    for t in range(1, 11):  # 10 pairs over 8 devices -> uneven split + padding
+        frames.append(shift_image(base, 1.5 * t, -0.8 * t))
+    return np.stack(frames).astype(np.float32)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_pairs_sharded_matches_single(frame_stack):
+    imgs = frame_stack
+    h, w = imgs.shape[-2:]
+    n_rows, n_cols = windows.get_field_shape((h, w), (32, 32), (16, 16))
+    u1, v1, c1, s1 = (
+        np.asarray(a) for a in piv.piv_pairs(imgs, (h, w), (32, 32), (16, 16), n_rows, n_cols)
+    )
+    mesh = parallel.make_mesh()
+    u8, v8, c8, s8 = parallel.piv_pairs_sharded(imgs, (32, 32), (16, 16), mesh=mesh)
+    assert u8.shape == (10, n_rows, n_cols)
+    assert np.allclose(u1, u8, atol=1e-4, equal_nan=True)
+    assert np.allclose(v1, v8, atol=1e-4, equal_nan=True)
+    assert np.allclose(c1, c8, atol=1e-4)
+    assert np.allclose(s1, s8, atol=1e-3)
+
+
+def test_ensemble_sharded_matches_single(frame_stack):
+    imgs = frame_stack
+    h, w = imgs.shape[-2:]
+    n_rows, n_cols = windows.get_field_shape((h, w), (32, 32), (16, 16))
+    cs1, cc1, cm1, s1 = (
+        np.asarray(a)
+        for a in piv.piv_ensemble_scan(
+            imgs, (h, w), (32, 32), (16, 16), n_rows, n_cols, corr_min=0.1, s2n_min=1.5
+        )
+    )
+    cs8, cc8, cm8, s8 = parallel.piv_ensemble_sharded(
+        imgs, (32, 32), (16, 16), corr_min=0.1, s2n_min=1.5
+    )
+    assert np.allclose(cc1, cc8)
+    assert np.allclose(cs1, cs8, atol=2e-3)
+    assert np.allclose(cm1, cm8, atol=1e-4)

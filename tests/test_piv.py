@@ -1,0 +1,186 @@
+"""PIV engine tests: synthetic shift recovery, numpy reference cross-check,
+masking semantics, ensemble accumulation."""
+
+import numpy as np
+import pytest
+
+from pyorc_tpu.ops import piv, windows
+
+
+def make_particle_image(rng, h=256, w=320, n_particles=900, sigma=1.5):
+    """Render a synthetic particle field: bilinear impulse splat + Gaussian blur."""
+    from scipy.ndimage import gaussian_filter
+
+    img = np.zeros((h, w))
+    xs = rng.uniform(0, w - 1, n_particles)
+    ys = rng.uniform(0, h - 1, n_particles)
+    amp = rng.uniform(0.4, 1.0, n_particles)
+    x0, y0 = np.floor(xs).astype(int), np.floor(ys).astype(int)
+    fx, fy = xs - x0, ys - y0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            wgt = (fy if dy else 1 - fy) * (fx if dx else 1 - fx)
+            np.add.at(img, (np.minimum(y0 + dy, h - 1), np.minimum(x0 + dx, w - 1)), amp * wgt)
+    return gaussian_filter(img, sigma, mode="wrap")
+
+
+def shift_image(img, dx, dy):
+    """Shift by (possibly subpixel) displacement via Fourier shift."""
+    h, w = img.shape
+    fy = np.fft.fftfreq(h)[:, None]
+    fx = np.fft.fftfreq(w)[None, :]
+    return np.real(np.fft.ifft2(np.fft.fft2(img) * np.exp(-2j * np.pi * (fy * dy + fx * dx))))
+
+
+def np_reference_corr(win_a, win_b):
+    """Plain numpy normalized circular cross-correlation (oracle)."""
+    a = win_a - win_a.mean()
+    b = win_b - win_b.mean()
+    sa, sb = a.std(), b.std()
+    c = np.real(np.fft.ifft2(np.conj(np.fft.fft2(a)) * np.fft.fft2(b)))
+    c = np.fft.fftshift(c)
+    return np.clip(c / (a.size * max(sa * sb, 1e-10)), 0.0, None)
+
+
+def test_window_grid():
+    cols, rows = windows.get_rect_coordinates((785, 875), (26, 26), (26, 26), (13, 13))
+    assert cols[0] == 13 and rows[0] == 13
+    assert np.all(np.diff(cols) == 13)
+    n_rows, n_cols = windows.get_field_shape((785, 875), (26, 26), (13, 13))
+    assert len(cols) == n_cols and len(rows) == n_rows
+    # windows fully inside the frame
+    assert rows[-1] + 13 <= 785 and cols[-1] + 13 <= 875
+    assert windows.round_to_even(25) == 26
+    assert windows.round_to_even((25, 24)) == (26, 24)
+
+
+def test_extract_windows(rng):
+    import jax.numpy as jnp
+
+    img = rng.normal(size=(2, 64, 96)).astype(np.float32)
+    row0, col0 = windows.get_window_starts((64, 96), (32, 32), (16, 16))
+    w = piv.extract_windows(jnp.asarray(img), row0, col0, 32, 32)
+    n_rows, n_cols = windows.get_field_shape((64, 96), (32, 32), (16, 16))
+    assert w.shape == (2, n_rows * n_cols, 32, 32)
+    # first window == top-left corner of frame
+    assert np.allclose(np.asarray(w[0, 0]), img[0, :32, :32])
+    # last window
+    assert np.allclose(np.asarray(w[1, -1]), img[1, row0[-1] : row0[-1] + 32, col0[-1] : col0[-1] + 32])
+
+
+def test_corr_matches_numpy_reference(rng):
+    img_a = make_particle_image(rng, 96, 96)
+    img_b = shift_image(img_a, 3, -2)
+    imgs = np.stack([img_a, img_b])
+    cols, rows, corr = piv.cross_corr(imgs, (32, 32), (16, 16))
+    corr = np.asarray(corr)
+    row0, col0 = windows.get_window_starts((96, 96), (32, 32), (16, 16))
+    # check one specific window against the numpy oracle
+    k = 7
+    n_cols = len(col0)
+    r, c = divmod(k, n_cols)
+    wa = img_a[row0[r] : row0[r] + 32, col0[c] : col0[c] + 32]
+    wb = img_b[row0[r] : row0[r] + 32, col0[c] : col0[c] + 32]
+    expected = np_reference_corr(wa, wb)
+    assert np.allclose(corr[0, k], expected, atol=1e-4)
+    assert corr[0, k].max() <= 1.5  # coefficient scale
+
+
+@pytest.mark.parametrize(("dx", "dy"), [(3.0, -2.0), (-4.0, 1.0), (2.3, -1.7), (0.25, 0.6)])
+def test_shift_recovery(rng, dx, dy):
+    """Uniform shift must be recovered to <0.1 px (integer) / <0.2 px (subpixel)."""
+    img_a = make_particle_image(rng)
+    img_b = shift_image(img_a, dx, dy)
+    imgs = np.stack([img_a, img_b])
+    h, w = img_a.shape
+    n_rows, n_cols = windows.get_field_shape((h, w), (32, 32), (16, 16))
+    u, v, corr_max, s2n = piv.piv_pairs(imgs, (h, w), (32, 32), (16, 16), n_rows, n_cols)
+    u, v = np.asarray(u), np.asarray(v)
+    # interior windows only (border windows see wrap-around from the Fourier shift)
+    ui = u[0, 2:-2, 2:-2]
+    vi = v[0, 2:-2, 2:-2]
+    # single-pass FFT PIV accuracy: ~0.1-0.2 px bias toward zero is inherent to
+    # the method (fresh window content decorrelates the far-side lag, skewing
+    # the peak); multi-pass window deformation removes it (see ops.piv multi-pass)
+    assert abs(np.nanmedian(ui) - dx) < 0.2, f"u: {np.nanmedian(ui)} vs {dx}"
+    assert abs(np.nanmedian(vi) - (-dy)) < 0.2, f"v: {np.nanmedian(vi)} vs {-dy}"
+    assert np.nanmedian(np.abs(ui - dx)) < 0.3
+    assert np.nanmedian(np.abs(vi - (-dy))) < 0.3
+    assert np.nanmedian(np.asarray(corr_max)[0]) > 0.5
+    assert np.nanmedian(np.asarray(s2n)[0]) > 3
+
+
+def test_v_sign_convention(rng):
+    """Particles moving DOWN the image (+row) => v negative (toward -y)."""
+    img_a = make_particle_image(rng)
+    img_b = shift_image(img_a, 0, 3.0)  # move down 3 px
+    imgs = np.stack([img_a, img_b])
+    h, w = img_a.shape
+    n_rows, n_cols = windows.get_field_shape((h, w), (32, 32), (16, 16))
+    u, v, *_ = piv.piv_pairs(imgs, (h, w), (32, 32), (16, 16), n_rows, n_cols)
+    assert np.nanmedian(np.asarray(v)[0, 2:-2, 2:-2]) < -2.5
+    assert abs(np.nanmedian(np.asarray(u)[0, 2:-2, 2:-2])) < 0.2
+
+
+def test_zero_variance_windows(rng):
+    """Uniform (no-signal) windows give corr=0, not NaN/inf blowups."""
+    img = np.zeros((96, 96))
+    img[:48] = make_particle_image(rng, 48, 96)
+    imgs = np.stack([img, img])
+    cols, rows, corr = piv.cross_corr(imgs, (32, 32), (16, 16))
+    corr = np.asarray(corr)
+    assert np.isfinite(corr).all()
+    # bottom windows all-zero -> zero correlation planes
+    assert np.allclose(corr[0, -1], 0.0)
+
+
+def test_signal_threshold_masking(rng):
+    img = np.zeros((96, 96))
+    img[:48] = make_particle_image(rng, 48, 96) + 1.0
+    imgs = np.stack([img, img])
+    cols, rows, corr = piv.cross_corr(imgs, (32, 32), (16, 16), signal_threshold=0.5)
+    corr = np.asarray(corr)
+    assert np.isnan(corr[0, -1]).all()  # empty window masked
+    assert np.isfinite(corr[0, 0]).all()  # full window kept
+
+
+def test_ensemble_matches_mean_of_pairs(rng):
+    """Ensemble scan accumulators == explicit mean over per-pair planes."""
+    base = make_particle_image(rng, 128, 128)
+    frames = [base]
+    for t in range(1, 5):
+        frames.append(shift_image(base, 2.0 * t, -1.0 * t))
+    imgs = np.stack(frames)
+    n_rows, n_cols = windows.get_field_shape((128, 128), (32, 32), (16, 16))
+    # disable thresholds entirely so the scan accumulates every plane
+    corr_sum, corr_count, corr_max, s2n = piv.piv_ensemble_scan(
+        imgs, (128, 128), (32, 32), (16, 16), n_rows, n_cols, corr_min=-10.0, s2n_min=-1e9
+    )
+    _, _, corr_all = piv.cross_corr(imgs, (32, 32), (16, 16))
+    # fp32 summation-order differences between scan and batch paths
+    assert np.allclose(np.asarray(corr_sum), np.asarray(corr_all).sum(axis=0), atol=2e-3)
+    assert np.allclose(np.asarray(corr_count), 4)
+    # displacement from the mean plane recovers the mean shift (2, -1 per step)
+    corr_mean = np.asarray(corr_sum) / 4
+    u, v = piv.u_v_displacement(corr_mean[None], n_rows, n_cols)
+    assert abs(np.nanmedian(np.asarray(u)[0, 1:-1, 1:-1]) - 2.0) < 0.5
+    assert abs(np.nanmedian(np.asarray(v)[0, 1:-1, 1:-1]) - 1.0) < 0.5
+
+
+def test_subpixel_peak_synthetic():
+    """Exact Gaussian peak is recovered to high precision."""
+    import jax.numpy as jnp
+
+    yy, xx = np.mgrid[0:32, 0:32].astype(np.float64)
+    for py, px in [(16.3, 15.6), (10.0, 20.25), (16.5, 16.5)]:
+        plane = np.exp(-((yy - py) ** 2 + (xx - px) ** 2) / (2 * 2.0**2))
+        rp, cp = piv.subpixel_peak(jnp.asarray(plane[None]))
+        assert abs(float(rp[0]) - py) < 0.02
+        assert abs(float(cp[0]) - px) < 0.02
+
+
+def test_memory_planner():
+    req = windows.required_memory(100, (1080, 1920), (64, 64), (32, 32), (64, 64))
+    assert req > 0
+    avail = windows.available_memory()
+    assert avail > 1 << 28  # at least 256 MB anywhere we run

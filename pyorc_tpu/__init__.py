@@ -12,6 +12,7 @@ __version__ = "0.1.0"
 
 from . import ndx
 from .ndx import DataArray, Dataset, open_dataset
+from . import api as _api  # registers .frames/.velocimetry/.transect accessors  # noqa: E402
 
 __all__ = [
     "DataArray",

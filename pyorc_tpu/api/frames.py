@@ -1,0 +1,283 @@
+"""Frames accessor: preprocessing filters, orthorectification, PIV entry point.
+
+API-parity port of the reference accessor (reference ``pyorc/api/frames.py``),
+with the compute substrate swapped: per-frame dask/OpenCV calls become batched
+jitted XLA ops (:mod:`pyorc_tpu.ops.filters`, :mod:`pyorc_tpu.ops.ortho`) and
+the PIV hot loop streams through the device (:mod:`pyorc_tpu.velocimetry`).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Optional
+
+import numpy as np
+
+from .. import const, helpers, ndx
+from ..ops import filters as flt
+from ..ops import ortho as ortho_ops
+from ..ops import windows as win
+from .orcbase import ORCBase
+
+__all__ = ["Frames"]
+
+
+@ndx.register_dataarray_accessor("frames")
+class Frames(ORCBase):
+    """Frame-stack functionality on an ndx.DataArray."""
+
+    def __init__(self, obj):
+        super().__init__(obj)
+
+    @property
+    def is_projected(self) -> bool:
+        return all(coord in self._obj.coords for coord in ["xs", "ys"])
+
+    # -- device batching helper ------------------------------------------------------
+
+    def _map_device(self, fn, batch: int = 64):
+        """Apply a jitted per-frame op over the frame stack in device batches."""
+        import jax
+
+        data = self._obj.data
+        n = data.shape[0]
+        outs = []
+        for start in range(0, n, batch):
+            chunk = np.asarray(data[start : min(start + batch, n)])
+            outs.append(np.asarray(fn(jax.device_put(chunk))))
+        return np.concatenate(outs, axis=0)
+
+    def _with_data(self, data, dims=None, drop_time: int = 0) -> ndx.DataArray:
+        """New frames DataArray with same coords/attrs (optionally first frames dropped)."""
+        obj = self._obj
+        dims = obj.dims if dims is None else dims
+        new = ndx.DataArray(data, dims=dims, name=obj.name, attrs=dict(obj.attrs), fastpath=True)
+        for k, c in obj._coords.items():
+            if drop_time and "time" in c.dims:
+                new._coords[k] = c.isel(time=slice(drop_time, None))
+            else:
+                new._coords[k] = c
+        return new
+
+    # -- filters ------------------------------------------------------------
+
+    def normalize(self, samples: int = 15) -> ndx.DataArray:
+        """Remove the temporal mean of sampled frames. Reference frames.py:279-306."""
+        n = self._obj.shape[0]
+        time_interval = round(n / samples)
+        assert time_interval != 0, f"Amount of frames is too small to provide {samples} samples"
+        sampled = np.asarray(self._obj.data[::time_interval]).astype(np.float32)
+        mean = sampled.mean(axis=0)
+        out = self._map_device(lambda f: flt.normalize_with_mean(f, mean))
+        return self._with_data(out)
+
+    def edge_detect(self, wdw_1: int = 1, wdw_2: int = 2) -> ndx.DataArray:
+        stride_1 = wdw_1 * 2 + 1
+        stride_2 = wdw_2 * 2 + 1
+        out = self._map_device(lambda f: flt.edge_detect(f, stride_1, stride_2))
+        return self._with_data(out.astype(np.float32))
+
+    def minmax(self, min: float = -np.inf, max: float = np.inf) -> ndx.DataArray:
+        out = self._map_device(lambda f: flt.minmax(f, float(min), float(max)))
+        return self._with_data(out.astype(self._obj.dtype))
+
+    def range(self) -> ndx.DataArray:
+        """Temporal intensity range per pixel (no time dimension)."""
+        arr = np.asarray(self._obj.data)
+        out = (arr.max(axis=0) - arr.min(axis=0)).astype(self._obj.dtype)
+        new = self._with_data(out, dims=tuple(d for d in self._obj.dims if d != "time"))
+        new._coords = {k: c for k, c in new._coords.items() if "time" not in c.dims}
+        return new
+
+    def reduce_rolling(self, samples: int = 25) -> ndx.DataArray:
+        assert self._obj.shape[0] >= samples, f"Amount of frames is smaller than rolling of {samples} samples"
+        import jax
+
+        out = np.asarray(flt.reduce_rolling(jax.device_put(np.asarray(self._obj.data)), samples))
+        return self._with_data(out)
+
+    def time_diff(self, thres: float = 0.0, abs: bool = False) -> ndx.DataArray:
+        import jax
+
+        out = np.asarray(flt.time_diff(jax.device_put(np.asarray(self._obj.data)), float(thres), bool(abs)))
+        new = self._with_data(out, drop_time=1)
+        return new
+
+    def smooth(self, wdw: int = 1) -> ndx.DataArray:
+        stride = wdw * 2 + 1
+        out = self._map_device(lambda f: flt.gaussian_blur(f, stride))
+        return self._with_data(out.astype(np.float32))
+
+    # -- projection ------------------------------------------------------------
+
+    def project(
+        self,
+        method: str = "numpy",
+        resolution: Optional[float] = None,
+        reducer: str = "mean",
+    ) -> ndx.DataArray:
+        """Orthorectify frames onto the water-surface plane grid.
+
+        ``method="numpy"`` matches the reference's naming for the index-map
+        projection path (reference frames.py:199-277, project.py:164-230); the
+        per-frame work runs as a static-gather XLA kernel here.
+        """
+        if method not in ("numpy", "cv"):
+            raise ValueError(f"Selected projection method {method} does not exist.")
+        cc = copy.deepcopy(self.camera_config)
+        if resolution is not None:
+            cc.resolution = resolution
+        shape = cc.shape
+        y = np.flipud(np.linspace(cc.resolution / 2, cc.resolution * (shape[0] - 0.5), shape[0]))
+        x = np.linspace(cc.resolution / 2, cc.resolution * (shape[1] - 0.5), shape[1])
+        cols, rows = np.meshgrid(np.arange(len(x)), np.arange(len(y)))
+        xs, ys = helpers.get_xs_ys(cols, rows, cc.transform)
+        if hasattr(cc, "crs"):
+            lons, lats = helpers.get_lons_lats(xs, ys, cc.crs)
+        else:
+            lons, lats = None, None
+        coords = {"y": y, "x": x}
+        z = cc.get_z_a(self.h_a)
+        maps = ortho_ops.build_ortho_maps(cc, x, y, z, reducer=reducer)
+        is_rgb = "rgb" in self._obj.dims
+        src_dtype = self._obj.dtype
+
+        def project_chunk(chunk):
+            if is_rgb:
+                out = np.stack(
+                    [np.asarray(ortho_ops.project_batch(chunk[..., b], maps)) for b in range(chunk.shape[-1])],
+                    axis=-1,
+                )
+            else:
+                out = np.asarray(ortho_ops.project_batch(chunk, maps))
+            return out
+
+        data = self._obj.data
+        n = data.shape[0]
+        outs = []
+        batch = 32
+        for s in range(0, n, batch):
+            chunk = np.asarray(data[s : min(s + batch, n)])
+            outs.append(project_chunk(chunk))
+        out = np.concatenate(outs, axis=0)
+        out = np.nan_to_num(out).astype(src_dtype)
+        dims = ("time", "y", "x", "rgb") if is_rgb else ("time", "y", "x")
+        da_proj = ndx.DataArray(
+            out,
+            dims=dims,
+            coords={"time": self._obj["time"].values, **coords, **({"rgb": [0, 1, 2]} if is_rgb else {})},
+            attrs=dict(self._obj.attrs),
+            name="frames",
+        )
+        da_proj = da_proj.frames.add_xy_coords(
+            {"xs": xs, "ys": ys, "lon": lons, "lat": lats}, coords, const.GEOGRAPHICAL_ATTRS
+        )
+        da_proj.attrs.update(camera_config=cc.to_json())
+        return da_proj
+
+    # -- PIV ------------------------------------------------------------
+
+    def get_piv_coords(self, window_size, search_area_size, overlap):
+        """Window-centre coordinates in all systems. Reference frames.py:47-112."""
+        dim_size = self._obj.shape[1:3]
+        cols_vector, rows_vector = win.get_rect_coordinates(
+            dim_size=dim_size, window_size=window_size, search_area_size=search_area_size, overlap=overlap
+        )
+        cols, rows = np.meshgrid(cols_vector, rows_vector)
+        x, y = helpers.get_axes(cols_vector, rows_vector, self._obj["x"].values, self._obj["y"].values)
+        xs, ys = helpers.get_xs_ys(cols, rows, self.camera_config.transform)
+        if hasattr(self.camera_config, "crs"):
+            lons, lats = helpers.get_lons_lats(xs, ys, self.camera_config.crs)
+        else:
+            lons, lats = None, None
+        z = self.camera_config.h_to_z(self.h_a)
+        zs = np.ones(xs.shape) * z
+        xp, yp = self.camera_config.project_grid(xs, ys, zs, swap_y_coords=True)
+        coords = {"y": y, "x": x}
+        mesh_coords = {"xp": xp, "yp": yp, "xs": xs, "ys": ys, "lon": lons, "lat": lats}
+        return coords, mesh_coords
+
+    def get_piv(
+        self,
+        window_size=None,
+        overlap=None,
+        engine: str = "jax",
+        ensemble_corr: bool = False,
+        **kwargs,
+    ) -> ndx.Dataset:
+        """PIV over projected frames -> Dataset(v_x, v_y, corr, s2n).
+
+        Reference frames.py:114-197; ``engine`` accepts "jax" (device
+        pipeline; "numba"/"numpy" are accepted as aliases for compatibility
+        with reference recipes).
+        """
+        from .. import velocimetry as engine_mod
+
+        camera_config = copy.deepcopy(self.camera_config)
+        dt = self._obj["time"].diff(dim="time")
+        if window_size is not None:
+            camera_config.window_size = window_size
+        window_size = (
+            2 * (camera_config.window_size,)
+            if isinstance(camera_config.window_size, int)
+            else tuple(camera_config.window_size)
+        )
+        window_size = win.round_to_even(window_size)
+        search_area_size = window_size
+        if overlap is None:
+            overlap = 2 * (int(round(camera_config.window_size) / 2),)
+        coords, mesh_coords = self.get_piv_coords(window_size, search_area_size, overlap)
+        if engine not in ("jax", "numba", "numpy"):
+            raise ValueError(f"Selected PIV engine {engine} does not exist.")
+        kwargs = {
+            **kwargs,
+            "search_area_size": search_area_size,
+            "window_size": window_size,
+            "overlap": overlap,
+            "res_x": camera_config.resolution,
+            "res_y": camera_config.resolution,
+        }
+        ds = engine_mod.get_piv(
+            self._obj, coords["y"], coords["x"], dt, ensemble_corr=ensemble_corr, **kwargs
+        )
+        ds = ds.velocimetry.add_xy_coords(
+            mesh_coords, coords, {**const.PERSPECTIVE_ATTRS, **const.GEOGRAPHICAL_ATTRS}
+        )
+        ds.attrs = dict(self._obj.attrs)
+        ds.attrs.update(camera_config=camera_config.to_json())
+        ds.velocimetry.set_encoding()
+        return ds
+
+    # -- output ------------------------------------------------------------
+
+    def to_video(self, fn, video_format=None, fps=None, progress=True):
+        """Write frames to an mp4 video file. Reference frames.py:537-607."""
+        import cv2
+        from tqdm import tqdm
+
+        if video_format is None:
+            video_format = cv2.VideoWriter_fourcc(*"mp4v")
+        if fps is None:
+            diffs = np.diff(self._obj["time"].values)
+            fps = 1.0 / diffs.mean() if len(diffs) else 25.0
+        h, w = self._obj.shape[1], self._obj.shape[2]
+        out = cv2.VideoWriter(str(fn), video_format, fps, (w, h))
+        data = self._obj.data
+        for i in tqdm(range(self._obj.shape[0]), disable=not progress, desc="Writing video"):
+            frame = np.asarray(data[i])
+            if frame.ndim == 2:
+                f = frame.astype(np.float32)
+                fmin, fmax = np.nanmin(f), np.nanmax(f)
+                if fmax > fmin:
+                    f = (f - fmin) / (fmax - fmin) * 255
+                frame = cv2.cvtColor(f.astype(np.uint8), cv2.COLOR_GRAY2BGR)
+            else:
+                frame = cv2.cvtColor(frame.astype(np.uint8), cv2.COLOR_RGB2BGR)
+            out.write(frame)
+        out.release()
+
+    def plot(self, ax=None, mode: str = "local", **kwargs):
+        """Plot a single frame (time must already be selected)."""
+        from .plot import frames_plot
+
+        return frames_plot(self._obj, ax=ax, mode=mode, **kwargs)

@@ -649,6 +649,10 @@ class DataArray(_AccessorMixin):
         scalar = np.ndim(target) == 0
         ax = self._dims.index(dim)
         vals = self.values.astype(np.float64)
+        if len(coord) > 1 and coord[1] < coord[0]:
+            # descending coordinate: flip data + coord to ascending
+            coord = coord[::-1]
+            vals = np.flip(vals, axis=ax)
         idx = np.clip(np.searchsorted(coord, tgt) - 1, 0, len(coord) - 2)
         x0, x1 = coord[idx], coord[idx + 1]
         wdenom = np.where(x1 > x0, x1 - x0, 1.0)
@@ -681,8 +685,11 @@ class DataArray(_AccessorMixin):
         for d in sample_dims:
             coord = self.get_index(d).astype(np.float64)
             t = np.asarray(targets[d].values, dtype=np.float64).ravel()
-            # fractional index
-            fi = np.interp(t, coord, np.arange(len(coord)), left=np.nan, right=np.nan)
+            # fractional index; np.interp needs ascending support points
+            if len(coord) > 1 and coord[1] < coord[0]:
+                fi = np.interp(t, coord[::-1], np.arange(len(coord))[::-1].astype(np.float64))
+            else:
+                fi = np.interp(t, coord, np.arange(len(coord), dtype=np.float64))
             lo = (t < coord.min()) | (t > coord.max())
             fi[lo] = np.nan
             frac.append(fi)
@@ -746,11 +753,19 @@ class DataArray(_AccessorMixin):
         return out
 
     def integrate(self, coord) -> "DataArray":
-        c = self.get_index(coord).astype(np.float64)
-        ax = self._dims.index(coord)
+        # coord may be a dimension or a 1-D non-dimension coordinate (e.g.
+        # "scoords" over dim "points", used for discharge integration)
+        if coord in self._dims:
+            dim = coord
+            c = self.get_index(coord).astype(np.float64)
+        else:
+            cvar = self._coords[coord]
+            dim = cvar.dims[0]
+            c = cvar.values.astype(np.float64)
+        ax = self._dims.index(dim)
         data = np.trapezoid(self.values, x=c, axis=ax)
-        rdims = tuple(d for d in self._dims if d != coord)
-        return self._replace(data, dims=rdims, drop_dims=[coord])
+        rdims = tuple(d for d in self._dims if d != dim)
+        return self._replace(data, dims=rdims, drop_dims=[dim])
 
     def assign_coords(self, coords=None, **kw) -> "DataArray":
         new = self.copy()
@@ -1256,7 +1271,38 @@ class Dataset(_AccessorMixin):
     def where(self, cond, other=np.nan) -> "Dataset":
         return self._map(lambda v: v.where(cond if not isinstance(cond, Dataset) else cond[v.name], other))
 
+    def _binop(self, other, op) -> "Dataset":
+        if isinstance(other, Dataset):
+            return self._map(lambda v: op(v, other[v.name]))
+        return self._map(lambda v: op(v, other))
+
+    def __gt__(self, o):
+        return self._binop(o, lambda a, b: a > b)
+
+    def __ge__(self, o):
+        return self._binop(o, lambda a, b: a >= b)
+
+    def __lt__(self, o):
+        return self._binop(o, lambda a, b: a < b)
+
+    def __le__(self, o):
+        return self._binop(o, lambda a, b: a <= b)
+
+    def __add__(self, o):
+        return self._binop(o, lambda a, b: a + b)
+
+    def __sub__(self, o):
+        return self._binop(o, lambda a, b: a - b)
+
+    def __mul__(self, o):
+        return self._binop(o, lambda a, b: a * b)
+
+    def __truediv__(self, o):
+        return self._binop(o, lambda a, b: a / b)
+
     def fillna(self, value) -> "Dataset":
+        if isinstance(value, Dataset):
+            return self._map(lambda v: v.fillna(value[v.name]) if v.name in value else v.copy())
         return self._map(lambda v: v.fillna(value))
 
     def interp(self, coords=None, method="linear", kwargs=None, **kw) -> "Dataset":

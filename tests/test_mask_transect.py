@@ -1,0 +1,131 @@
+"""Mask chain + transect + discharge, golden-tested against the reference's
+own output files (ngwerere_piv.nc -> ngwerere_masked.nc)."""
+
+import numpy as np
+import pytest
+
+REF_CSV = "/root/reference/examples/ngwerere/ngwerere_cross_section.csv"
+
+
+@pytest.fixture(scope="module")
+def piv_golden():
+    from pyorc_tpu import open_dataset
+
+    return open_dataset("/root/reference/examples/ngwerere/ngwerere_piv.nc")
+
+
+@pytest.fixture(scope="module")
+def masked_ours(piv_golden):
+    """Apply the ngwerere recipe's mask chain to the golden PIV output."""
+    dsm = piv_golden.copy(deep=True)
+    m = dsm.velocimetry.mask
+    m.corr(inplace=True)
+    m.minmax(inplace=True)
+    m.rolling(inplace=True)
+    m.outliers(inplace=True)
+    m.variance(inplace=True)
+    m.count(inplace=True)
+    m.window_mean(wdw=2, tolerance=0.5, reduce_time=True, inplace=True)
+    return dsm
+
+
+@pytest.fixture(scope="module")
+def cross_section():
+    cs = np.genfromtxt(REF_CSV, delimiter=",", names=True)
+    return cs["x"], cs["y"], cs["z"]
+
+
+def test_mask_chain_matches_reference(masked_ours, ngwerere_masked_ref):
+    """The full recipe mask chain reproduces the reference's masked output."""
+    for var in ("v_x", "v_y"):
+        ours = masked_ours[var].values
+        ref = ngwerere_masked_ref[var].values
+        nan_agree = (np.isnan(ours) == np.isnan(ref)).mean()
+        assert nan_agree > 0.9999, f"{var}: NaN pattern agreement {nan_agree}"
+        valid = ~np.isnan(ours) & ~np.isnan(ref)
+        assert valid.any()
+        assert np.nanmax(np.abs(ours[valid] - ref[valid])) < 1e-6
+
+
+def test_individual_masks(piv_golden):
+    m = piv_golden.velocimetry.mask
+    corr_mask = m.corr()
+    assert corr_mask.dims == ("time", "y", "x")
+    assert 0.2 < corr_mask.values.mean() < 1.0
+    count_mask = m.count()
+    assert count_mask.dims == ("y", "x")
+    s2n_mask = m.s2n(tolerance=3)
+    assert s2n_mask.values.any()
+    wm = m.window_nan()
+    assert wm.dims == ("time", "y", "x")
+
+
+def test_mask_requires_velocimetry(piv_golden):
+    ds = piv_golden.drop_vars("v_x")
+    with pytest.raises(AssertionError):
+        ds.velocimetry.mask.minmax()
+
+
+def test_get_transect(masked_ours, cross_section):
+    x, y, z = cross_section
+    tr = masked_ours.velocimetry.get_transect(x, y, z, crs=32735, rolling=4, wdw=2)
+    assert tr.sizes["quantile"] == 5
+    assert tr.sizes["points"] > 20
+    assert "v_eff_nofill" in tr
+    # flow direction from local grid geometry (reference golden -4.419 with
+    # their slightly different grid spacing)
+    assert -5.0 < float(tr["v_dir"].values[0]) < -4.0
+    # sensible effective velocities in the wet part
+    assert 0 < np.nanmedian(np.abs(tr["v_eff_nofill"].values)) < 1.0
+
+
+@pytest.mark.parametrize("fill_method", ["zeros", "interpolate", "log_interp", "log_fit"])
+def test_get_q_and_river_flow(masked_ours, cross_section, fill_method):
+    x, y, z = cross_section
+    tr = masked_ours.velocimetry.get_transect(x, y, z, crs=32735, rolling=4, wdw=2)
+    kwargs = {}
+    if fill_method == "log_fit":
+        kwargs = {}
+    tq = tr.transect.get_q(fill_method=fill_method, v_corr=0.85)
+    assert "q" in tq and "q_nofill" in tq
+    tq.transect.get_river_flow()
+    Q = tq["river_flow"].values
+    assert Q.shape == (5,)
+    assert np.all(np.diff(Q) >= -1e-9)  # quantiles are ordered
+    # plausible discharge for this small stream
+    assert -0.2 < Q[0] < Q[-1] < 2.0
+
+
+def test_transect_point_distance(masked_ours, cross_section):
+    x, y, z = cross_section
+    tr_fine = masked_ours.velocimetry.get_transect(x, y, z, crs=32735, distance=0.1)
+    tr_coarse = masked_ours.velocimetry.get_transect(x, y, z, crs=32735, distance=0.3)
+    assert tr_fine.sizes["points"] > 2.5 * tr_coarse.sizes["points"]
+    # reference goldens with the same csv: 50 / 17 points
+    assert tr_fine.sizes["points"] == 50
+    assert tr_coarse.sizes["points"] == 17
+
+
+def test_to_ugrid(masked_ours, tmp_path):
+    ds_ugrid = masked_ours.velocimetry.to_ugrid()
+    assert "mesh2d_ucx" in ds_ugrid
+    assert "mesh2d_face_nodes" in ds_ugrid
+    n_faces = masked_ours.sizes["y"] * masked_ours.sizes["x"]
+    assert ds_ugrid["mesh2d_ucx"].shape == (masked_ours.sizes["time"], n_faces)
+    fn = tmp_path / "velocimetry_ugrid.nc"
+    ds_ugrid.to_netcdf(fn)
+    assert fn.exists()
+
+
+def test_masked_write_roundtrip(masked_ours, tmp_path):
+    fn = tmp_path / "masked.nc"
+    masked_ours.velocimetry.set_encoding()
+    masked_ours.to_netcdf(fn)
+    from pyorc_tpu import open_dataset
+
+    back = open_dataset(fn)
+    ours = masked_ours["v_x"].values
+    b = back["v_x"].values
+    valid = ~np.isnan(ours)
+    assert np.allclose(b[valid], ours[valid], atol=0.01)
+    assert np.isnan(b[~valid]).all()

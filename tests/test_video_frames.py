@@ -1,0 +1,146 @@
+"""Video ingestion + frames filters + projection + full E2E PIV on the geul video."""
+
+import numpy as np
+import pytest
+
+import pyorc_tpu
+
+GEUL_MP4 = "/root/reference/examples/geul/dk_control.mp4"
+GEUL_CFG = "/root/reference/examples/geul/dk_cam_config.json"
+
+
+@pytest.fixture(scope="module")
+def vid():
+    return pyorc_tpu.Video(
+        GEUL_MP4, camera_config=GEUL_CFG, start_frame=0, end_frame=6, h_a=92.36, progress=False
+    )
+
+
+@pytest.fixture(scope="module")
+def frames(vid):
+    return vid.get_frames()
+
+
+def test_video_metadata(vid):
+    assert vid.fps == 10.0
+    assert vid.height == 1080 and vid.width == 1920
+    assert len(vid.frame_number) == 7  # end_frame is inclusive (reference behaviour)
+
+
+def test_video_invalid_inputs():
+    with pytest.raises(IOError):
+        pyorc_tpu.Video("/nonexistent.mp4")
+    with pytest.raises(ValueError):
+        pyorc_tpu.Video(GEUL_MP4, start_frame=5, end_frame=2, progress=False)
+
+
+def test_get_frame(vid):
+    f = vid.get_frame(0, method="grayscale")
+    assert f.shape == (1080, 1920)
+    assert f.dtype == np.uint8
+    rgb = vid.get_frame(0, method="rgb")
+    assert rgb.shape == (1080, 1920, 3)
+
+
+def test_get_frames_lazy(frames):
+    from pyorc_tpu.api.video import LazyFrames
+
+    assert frames.dims == ("time", "y", "x")
+    assert isinstance(frames.data, LazyFrames)
+    assert frames.shape == (7, 1080, 1920)
+    # y axis flipped (bottom-to-top coordinate convention)
+    assert frames["y"].values[0] > frames["y"].values[-1]
+    assert "camera_config" in frames.attrs
+    # time slicing stays lazy
+    sub = frames.isel(time=slice(0, 3))
+    assert isinstance(sub.data, LazyFrames)
+    assert sub.shape[0] == 3
+    # materialization matches chunked decode
+    assert np.array_equal(np.asarray(sub.data), np.asarray(frames.data)[:3])
+
+
+def test_filters(frames):
+    f_norm = frames.frames.normalize(samples=2)
+    assert f_norm.dtype == np.uint8
+    assert f_norm.shape == frames.shape
+    f_edge = frames.frames.edge_detect()
+    assert f_edge.dtype == np.float32
+    f_mm = f_edge.frames.minmax(min=-5, max=5)
+    assert float(f_mm.values.max()) <= 5.0
+    f_range = frames.frames.range()
+    assert f_range.dims == ("y", "x")
+    assert f_range.dtype == frames.dtype
+    f_smooth = frames.frames.smooth()
+    assert f_smooth.dtype == np.float32
+    f_diff = frames.frames.time_diff()
+    assert f_diff.shape[0] == frames.shape[0] - 1
+    f_roll = frames.frames.reduce_rolling(samples=3)
+    assert f_roll.dtype == np.uint8
+
+
+def test_gaussian_matches_cv2(rng):
+    """Our separable blur must equal cv2.GaussianBlur bit-for-bit-ish."""
+    import cv2
+    import jax
+
+    from pyorc_tpu.ops import filters as flt
+
+    img = rng.uniform(0, 255, size=(64, 96)).astype(np.float32)
+    for ksize in (3, 5, 7, 9):
+        ours = np.asarray(flt.gaussian_blur(jax.device_put(img[None]), ksize))[0]
+        ref = cv2.GaussianBlur(img, (ksize, ksize), 0)
+        assert np.allclose(ours, ref, atol=2e-3), f"ksize {ksize}"
+
+
+def test_project(frames, vid):
+    f_proj = frames.frames.project()
+    rows, cols = vid.camera_config.shape
+    assert f_proj.shape == (7, rows, cols)
+    assert f_proj.dtype == frames.dtype
+    # projected coordinate rasters attached
+    assert f_proj.coords["xs"].dims == ("y", "x")
+    assert f_proj.coords["lon"].dims == ("y", "x")
+    assert f_proj.frames.is_projected
+    # most of the AOI must be filled from the camera (non-zero)
+    filled = (f_proj.values[0] > 0).mean()
+    assert filled > 0.5
+
+
+def test_project_resolution_override(frames):
+    import copy
+    import json
+
+    from pyorc_tpu.api.cameraconfig import get_camera_config
+
+    f_proj = frames.isel(time=slice(0, 2)).frames.project(resolution=0.1)
+    cc = get_camera_config(frames.attrs["camera_config"])
+    cc.resolution = 0.1
+    assert f_proj.shape[1:] == cc.shape
+    # the overridden resolution is recorded in the result's camera config
+    assert json.loads(f_proj.attrs["camera_config"])["resolution"] == 0.1
+
+
+def test_e2e_piv(frames):
+    """Full slice: video -> normalize -> project -> PIV velocities."""
+    f_norm = frames.frames.normalize(samples=2)
+    f_proj = f_norm.frames.project()
+    piv = f_proj.frames.get_piv()
+    assert set(piv.data_vars) == {"v_x", "v_y", "corr", "s2n"}
+    assert piv.sizes["time"] == 6
+    v = np.hypot(piv["v_x"].values, piv["v_y"].values)
+    assert np.isfinite(v).mean() > 0.9
+    assert 0.0 < np.nanmedian(v) < 3.0  # plausible river surface speeds
+    # coordinates present for all systems
+    for c in ("xp", "yp", "xs", "ys", "lon", "lat"):
+        assert c in piv.coords
+    # encoding set for int16 output
+    assert piv.encoding["v_x"]["scale_factor"] == 0.01
+
+
+def test_e2e_piv_ensemble(frames):
+    f_norm = frames.frames.normalize(samples=2)
+    f_proj = f_norm.frames.project()
+    piv = f_proj.frames.get_piv(ensemble_corr=True, corr_min=0.1, s2n_min=1.3, count_min=0.1)
+    assert piv.sizes["time"] == 1
+    v = np.hypot(piv["v_x"].values, piv["v_y"].values)
+    assert np.isfinite(v).any()

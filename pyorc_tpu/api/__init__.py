@@ -6,6 +6,7 @@ from .cameraconfig import CameraConfig, get_camera_config, load_camera_config
 from . import frames as _frames  # noqa: F401, E402
 from . import transect as _transect  # noqa: F401, E402
 from . import velocimetry as _velocimetry  # noqa: F401, E402
+from .cross_section import CrossSection
 from .video import Video
 
-__all__ = ["CameraConfig", "get_camera_config", "load_camera_config", "Video"]
+__all__ = ["CameraConfig", "get_camera_config", "load_camera_config", "Video", "CrossSection"]

@@ -15,7 +15,21 @@ from typing import Iterable, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
-__all__ = ["Point", "LineString", "Polygon", "loads", "dumps", "rotate", "translate", "scale", "box", "force_3d"]
+__all__ = [
+    "Point",
+    "LineString",
+    "Polygon",
+    "MultiPolygon",
+    "MultiLineString",
+    "loads",
+    "dumps",
+    "rotate",
+    "translate",
+    "scale",
+    "box",
+    "force_3d",
+    "force_2d",
+]
 
 
 class _Geom:
@@ -225,11 +239,24 @@ class Polygon(_Geom):
     def contains_points(self, pts: np.ndarray) -> np.ndarray:
         return points_in_polygon(np.asarray(pts, dtype=np.float64), self._ring[:, :2])
 
-    def intersection(self, other: Union["Polygon", LineString]):
+    @property
+    def is_empty(self) -> bool:
+        return len(self._ring) < 3
+
+    @property
+    def is_valid(self) -> bool:
+        return len(self._ring) >= 3 and self.area > 0
+
+    def intersection(self, other):
         if isinstance(other, LineString):
             return _clip_line_to_polygon(other, self)
+        if isinstance(other, MultiPolygon):
+            return MultiPolygon([self.intersection(g) for g in other.geoms if not self.intersection(g).is_empty])
         ring = _sutherland_hodgman(other._ring[:, :2], self._ring[:, :2])
         return Polygon(ring) if len(ring) >= 3 else Polygon(np.zeros((0, 2)))
+
+    def difference(self, other, resolution: float = 0.01):
+        return polygon_difference(self, other, resolution=resolution)
 
     def intersects(self, other) -> bool:
         if isinstance(other, Point):
@@ -273,11 +300,119 @@ class Polygon(_Geom):
         return f"POLYGON (({pts}))"
 
 
+class MultiPolygon(_Geom):
+    def __init__(self, polygons):
+        self.geoms = [p for p in polygons if isinstance(p, Polygon)]
+        self._coords = (
+            np.concatenate([p._ring for p in self.geoms], axis=0) if self.geoms else np.zeros((0, 2))
+        )
+
+    @property
+    def area(self) -> float:
+        return float(sum(p.area for p in self.geoms))
+
+    @property
+    def centroid(self) -> Point:
+        if not self.geoms:
+            return Point(np.nan, np.nan)
+        areas = np.array([max(p.area, 1e-12) for p in self.geoms])
+        cents = np.array([[p.centroid.x, p.centroid.y] for p in self.geoms])
+        c = (cents * areas[:, None]).sum(axis=0) / areas.sum()
+        return Point(*c)
+
+    def __iter__(self):
+        return iter(self.geoms)
+
+    def __len__(self):
+        return len(self.geoms)
+
+    def __repr__(self):
+        return f"MULTIPOLYGON ({len(self.geoms)} parts)"
+
+
+class MultiLineString(_Geom):
+    def __init__(self, lines):
+        self.geoms = [l for l in lines if isinstance(l, LineString) and not l.is_empty]
+        self._coords = (
+            np.concatenate([l._coords for l in self.geoms], axis=0) if self.geoms else np.zeros((0, 2))
+        )
+
+    @property
+    def length(self) -> float:
+        return float(sum(l.length for l in self.geoms))
+
+    def __iter__(self):
+        return iter(self.geoms)
+
+    def __len__(self):
+        return len(self.geoms)
+
+    def __repr__(self):
+        return f"MULTILINESTRING ({len(self.geoms)} parts)"
+
+
 def box(minx, miny, maxx, maxy) -> Polygon:
     return Polygon([(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy)])
 
 
+def polygon_difference(a: Polygon, b, resolution: float = 0.01):
+    """a minus b via rasterization + contour extraction (host OpenCV).
+
+    General polygon boolean difference is only needed for region
+    visualisation (dry/wet bbox split); a raster-backed implementation at the
+    working resolution is accurate to ~1 cell and robust for any shapes.
+    Returns a MultiPolygon.
+    """
+    import cv2
+
+    minx, miny, maxx, maxy = a.bounds
+    pad = 2 * resolution
+    minx -= pad
+    miny -= pad
+    maxx += pad
+    maxy += pad
+    w = max(int(np.ceil((maxx - minx) / resolution)), 2)
+    h = max(int(np.ceil((maxy - miny) / resolution)), 2)
+    # cap raster size for safety
+    scale_f = max(w, h) / 4000
+    if scale_f > 1:
+        resolution *= scale_f
+        w = int(np.ceil((maxx - minx) / resolution))
+        h = int(np.ceil((maxy - miny) / resolution))
+
+    def to_px(ring):
+        pts = (ring[:, :2] - [minx, miny]) / resolution
+        return np.round(pts).astype(np.int32)
+
+    mask = np.zeros((h, w), np.uint8)
+    cv2.fillPoly(mask, [to_px(a._ring)], 1)
+    b_geoms = b.geoms if isinstance(b, MultiPolygon) else [b]
+    for g in b_geoms:
+        cv2.fillPoly(mask, [to_px(g._ring)], 0)
+    contours, _ = cv2.findContours(mask, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+    polys = []
+    for c in contours:
+        if len(c) >= 3:
+            ring = c[:, 0, :].astype(np.float64) * resolution + [minx, miny]
+            polys.append(Polygon(ring))
+    return MultiPolygon(polys)
+
+
+def force_2d(geom):
+    if isinstance(geom, MultiPolygon):
+        return MultiPolygon([force_2d(g) for g in geom.geoms])
+    arr = geom._ring if isinstance(geom, Polygon) else geom._coords
+    arr2 = arr[:, :2]
+    if isinstance(geom, Polygon):
+        return Polygon(arr2)
+    if isinstance(geom, LineString):
+        return LineString(arr2)
+    return Point(*arr2[0])
+
+
 def force_3d(geom, z: float = 0.0):
+    if isinstance(geom, MultiPolygon):
+        return MultiPolygon([force_3d(g, z) for g in geom.geoms])
     arr = geom._coords if not isinstance(geom, Polygon) else geom._ring
     if arr.shape[1] == 3:
         return geom

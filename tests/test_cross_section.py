@@ -1,0 +1,247 @@
+"""CrossSection tests, ported from the reference's test suite (real Geul river
+bathymetry, camera config from reference tests/test_cross_section.py:130-160)."""
+
+import numpy as np
+import pytest
+
+from pyorc_tpu import CameraConfig, CrossSection
+from pyorc_tpu.geom import shapes
+
+ZS = [152.754, 152.436, 152.124, 151.65, 151.171, 150.959, 150.689, 150.215, 150.227, 150.204,
+      150.148, 150.181, 150.114, 150.14, 150.096, 150.207, 150.474, 150.684, 150.931, 151.136,
+      151.558, 151.943, 152.711, 153.016]
+XS_LON = [5.913483043333334, 5.91350165, 5.913509225, 5.913517873333333, 5.913526728333333,
+          5.913537678333333, 5.913544631666667, 5.913551016666665, 5.91356275, 5.913577963333334,
+          5.913591855, 5.913605991666667, 5.91362158, 5.91362959, 5.913639568333333, 5.913647405,
+          5.913650936666666, 5.91365698, 5.913666071666667, 5.913672016666667, 5.913678495,
+          5.91368494, 5.913693873333334, 5.913725518333333]
+YS_LAT = [50.807081403333335, 50.80708851833334, 50.80709163333333, 50.807093645, 50.807096580000014,
+          50.807099555, 50.807102958333346, 50.80710621, 50.80710916, 50.807112763333336,
+          50.80711691833334, 50.807121985, 50.80712629833334, 50.807129086666656, 50.807132803333324,
+          50.80713549666667, 50.807136676666666, 50.807138608333325, 50.80714141666667,
+          50.80714368666667, 50.80714608333333, 50.80714834333333, 50.80715788, 50.807162983333335]
+
+
+@pytest.fixture(scope="module")
+def camera_config():
+    return CameraConfig(
+        height=1080,
+        width=1920,
+        crs=28992,
+        resolution=0.01,
+        gcps={
+            "src": [[158, 314], [418, 245], [655, 162], [948, 98], [1587, 321], [1465, 747]],
+            "dst": [
+                [192102.50255553858, 313157.5882846481, 150.831],
+                [192101.3882378415, 313160.1101843005, 150.717],
+                [192099.77023223988, 313163.2868999007, 150.807],
+                [192096.8922817797, 313169.2557434712, 150.621],
+                [192105.2958125107, 313172.0257530752, 150.616],
+                [192110.35620407888, 313162.5371485311, 150.758],
+            ],
+            "h_ref": 92.45,
+            "z_0": 150.49,
+        },
+        window_size=64,
+        is_nadir=False,
+        camera_matrix=[[1750.3084716796875, 0.0, 960.0], [0.0, 1750.3084716796875, 540.0], [0.0, 0.0, 1.0]],
+        dist_coeffs=[[-0.48456448702008914], [0.44089348828121366], [0.0], [0.0], [0.0]],
+        bbox=(
+            "POLYGON ((192102.55970673775 313154.1397356759, 192098.0727491934 313163.2664060433, "
+            "192108.81475944887 313168.5475153654, 192113.3017169932 313159.420844998, "
+            "192102.55970673775 313154.1397356759))"
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def xyz(camera_config):
+    from pyorc_tpu.geom import crs as crs_mod
+
+    x, y = crs_mod.transform_points(4326, 28992, np.array(XS_LON), np.array(YS_LAT))
+    return [[float(a), float(b), float(c)] for a, b, c in zip(x, y, ZS)]
+
+
+@pytest.fixture(scope="module")
+def cs(xyz, camera_config):
+    return CrossSection(camera_config=camera_config, cross_section=xyz)
+
+
+def test_init(cs):
+    assert isinstance(cs, CrossSection)
+    assert len(cs.x) == 24
+    assert cs.s[0] == 0
+    assert np.all(np.diff(cs.s) >= 0)
+    assert np.all(np.diff(cs.l) >= 0)
+    assert isinstance(str(cs), str)
+
+
+def test_within_image(cs):
+    assert cs.within_image
+
+
+def test_get_bbox(cs):
+    z = min(cs.z[0], cs.z[-1]) - 0.05
+    h = cs.camera_config.z_to_h(z)
+    bbox = cs.get_bbox(h=h)
+    assert isinstance(bbox, shapes.Polygon)
+    assert not bbox.has_z
+    assert bbox.area > 0
+
+
+def test_get_cs_waterlevel(cs):
+    line = cs.get_cs_waterlevel(h=93.0)
+    assert isinstance(line, shapes.LineString)
+    assert line.has_z
+    line_extend = cs.get_cs_waterlevel(h=93.0, extend_by=0.2)
+    assert np.isclose(line_extend.length - line.length, 0.2 * 2)
+    line_sz = cs.get_cs_waterlevel(h=93.0, sz=True)
+    assert not line_sz.has_z
+    line_sz_ext = cs.get_cs_waterlevel(h=93.0, sz=True, extend_by=0.2)
+    assert np.isclose(line_sz_ext.length - line_sz.length, 0.2 * 2)
+
+
+def test_get_csl_point(cs):
+    for h in (92.5, 93.0):
+        p = cs.get_csl_point(h=h)
+        assert len(p) == 2
+        assert p[0].has_z
+        p_cam = cs.get_csl_point(h=h, camera=True)
+        assert len(p_cam) == 2
+        assert not p_cam[0].has_z
+    # by l-coordinate: exactly one point
+    assert len(cs.get_csl_point(l=5.0)) == 1
+    assert len(cs.get_csl_point(l=8.0)) == 1
+
+
+def test_get_csl_point_errors(cs):
+    with pytest.raises(ValueError, match="One of h or l"):
+        cs.get_csl_point()
+    with pytest.raises(ValueError, match="Only one of h or l"):
+        cs.get_csl_point(h=93.0, l=5.0)
+
+
+def test_get_csl_line(cs):
+    assert len(cs.get_csl_line(h=92.5, offset=0.0, length=4)) == 2
+    assert len(cs.get_csl_line(h=93.0, offset=0.0, length=4)) == 2
+    assert len(cs.get_csl_line(l=5.0, offset=0.0, length=4)) == 1
+    assert len(cs.get_csl_line(h=92.5, offset=2.0, camera=True)) == 2
+    # level above one bank -> only one crossing line
+    assert len(cs.get_csl_line(h=94.9)) == 1
+
+
+def test_get_csl_pol(cs):
+    pol1 = cs.get_csl_pol(h=93.25, offset=0.0, padding=(-2, 0), length=4.0)
+    pol2 = cs.get_csl_pol(h=93.25, offset=0.0, padding=(0, 2), length=4.0)
+    assert isinstance(pol1, list)
+    assert all(isinstance(p, shapes.Polygon) for p in pol1 + pol2)
+    pol_cam = cs.get_csl_pol(h=93.25, padding=(-1, 1), camera=True)
+    assert all(isinstance(p, shapes.Polygon) for p in pol_cam)
+    with pytest.raises(ValueError, match="padding"):
+        cs.get_csl_pol(h=93.25, padding=(1, -1))
+
+
+def test_get_planar_surface(cs):
+    pol = cs.get_planar_surface(h=93.0, length=2.0)
+    assert isinstance(pol, (shapes.Polygon, shapes.MultiPolygon))
+    area = pol.area if isinstance(pol, shapes.Polygon) else sum(p.area for p in pol.geoms)
+    assert area > 0
+
+
+def test_get_bottom_surface(cs):
+    pol = cs.get_bottom_surface(length=2.0)
+    assert isinstance(pol, shapes.Polygon)
+    assert pol.area > 0
+    pol_cam = cs.get_bottom_surface(length=2.0, camera=True)
+    assert isinstance(pol_cam, shapes.Polygon)
+
+
+def test_get_wetted_surface_sz(cs):
+    pols = cs.get_wetted_surface_sz(h=93.0)
+    assert isinstance(pols, shapes.MultiPolygon)
+    assert pols.area > 0
+    # wetted area grows with water level
+    assert cs.get_wetted_surface_sz(h=93.5).area > pols.area
+    perim = cs.get_wetted_surface_sz(h=93.0, perimeter=True)
+    assert isinstance(perim, shapes.MultiLineString)
+    assert perim.length > 0
+    # perimeter must be longer than the straight width of the channel
+    wl = cs.get_cs_waterlevel(h=93.0, sz=True)
+    assert perim.length > 0.5 * wl.length
+
+
+def test_get_wetted_surface(cs):
+    pols = cs.get_wetted_surface(h=93.0)
+    assert isinstance(pols, shapes.MultiPolygon)
+    pols_cam = cs.get_wetted_surface(h=93.0, camera=True)
+    assert isinstance(pols_cam, shapes.MultiPolygon)
+
+
+def test_get_bbox_dry_wet(cs):
+    bbox_wet = cs.get_bbox_dry_wet(h=93.0)
+    bbox_dry = cs.get_bbox_dry_wet(h=93.0, dry=True)
+    assert isinstance(bbox_wet, shapes.MultiPolygon)
+    assert isinstance(bbox_dry, shapes.MultiPolygon)
+    assert len(bbox_wet.geoms) == 1
+    assert len(bbox_dry.geoms) == 2
+    assert bbox_wet.has_z
+    # camera versions
+    bbox_wet_cam = cs.get_bbox_dry_wet(h=93.0, camera=True)
+    assert isinstance(bbox_wet_cam, shapes.MultiPolygon)
+
+
+def test_rotate_translate_linearize(cs):
+    cs2 = cs.rotate_translate(angle=0.1, xoff=1.0, yoff=-1.0, zoff=0.5)
+    assert isinstance(cs2, CrossSection)
+    assert np.isclose(cs2.z[0], cs.z[0] + 0.5)
+    cs3 = cs.linearize()
+    # linearized points lie on a straight line: perpendicular residual ~ 0
+    coords = np.column_stack([cs3.x, cs3.y])
+    c = coords.mean(axis=0)
+    _, sv, _ = np.linalg.svd(coords - c)
+    assert sv[1] < 1e-8
+
+
+def test_line_of_interest(cs):
+    l_both = cs.get_line_of_interest(bank="both")
+    assert np.isclose(l_both[0], cs.l.min()) and np.isclose(l_both[1], cs.l.max())
+    l_far = cs.get_line_of_interest(bank="far")
+    l_near = cs.get_line_of_interest(bank="near")
+    assert l_far[0] < l_far[1]
+    assert l_near[0] < l_near[1]
+    with pytest.raises(ValueError):
+        cs.get_line_of_interest(bank="bogus")
+
+
+def test_water_level_detection_synthetic(cs, camera_config):
+    """Render a synthetic image with distinct water/land intensity distributions
+    at a known level and recover the level optically."""
+    rng = np.random.default_rng(3)
+    h_true = 92.8
+    img = np.zeros((1080, 1920), dtype=np.uint8)
+    # land texture: bright with high variance
+    img[:] = rng.normal(170, 30, size=img.shape).clip(0, 255)
+    # paint the wet polygon (camera projection) dark and smooth
+    wet = cs.get_bbox_dry_wet(h=h_true, camera=True)
+    import cv2
+
+    for pol in wet.geoms:
+        ring = np.asarray(pol.exterior.coords)[:, :2]
+        ring = ring[np.isfinite(ring).all(axis=1)]
+        if len(ring) >= 3:
+            mask = np.zeros_like(img)
+            cv2.fillPoly(mask, [np.round(ring).astype(np.int32)], 1)
+            noise = rng.normal(60, 8, size=img.shape).clip(0, 255)
+            img = np.where(mask == 1, noise.astype(np.uint8), img)
+    h_det, s2n = cs.detect_water_level_s2n(img, bank="far", length=2.0, padding=0.5)
+    assert s2n > 1.2
+    assert abs(h_det - h_true) < 0.25, f"detected {h_det} vs true {h_true}"
+
+
+def test_detect_water_level_de(cs):
+    """DE-based detection runs and returns a level within the search range."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, size=(1080, 1920), dtype=np.uint8)
+    h = cs.detect_water_level(img, bank="far")
+    z = cs.camera_config.h_to_z(h)
+    assert cs.z.min() - 1 < z < cs.z.max() + 1

@@ -43,12 +43,11 @@ def __getattr__(name):
         from .api.cross_section import CrossSection
 
         return CrossSection
-    if name == "service":
-        from . import service
+    if name in ("service", "sample_data"):
+        import importlib
+        import sys
 
-        return service
-    if name == "sample_data":
-        from . import sample_data
-
-        return sample_data
+        mod = importlib.import_module(f"{__name__}.{name}")
+        setattr(sys.modules[__name__], name, mod)
+        return mod
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -276,6 +276,16 @@ class Frames(ORCBase):
             out.write(frame)
         out.release()
 
+    def to_geotiff(self, fn, frame: int = 0, crs=None):
+        """Write one projected frame as a GeoTIFF (pure-Python writer)."""
+        from ..io.geotiff import write_geotiff
+
+        assert self.is_projected, "Frames must be projected before writing to GeoTIFF"
+        cc = self.camera_config
+        data = np.asarray(self._obj.isel(time=frame).values)
+        crs = crs if crs is not None else getattr(cc, "crs", None)
+        write_geotiff(fn, data, cc.transform, crs=crs)
+
     def plot(self, ax=None, mode: str = "local", **kwargs):
         """Plot a single frame (time must already be selected)."""
         from .plot import frames_plot

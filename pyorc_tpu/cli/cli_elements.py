@@ -1,0 +1,147 @@
+"""Interactive matplotlib selectors for GCPs, AOI corners and stabilization regions.
+
+Functional port of the reference's widget GUIs (reference
+``pyorc/cli/cli_elements.py:33-535``): click points on a video frame, with
+live reprojection feedback for GCPs. Events are standard matplotlib mouse
+events, so tests can drive them programmatically (as the reference tests do).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional
+
+import numpy as np
+
+__all__ = ["BaseSelect", "GcpSelect", "AoiSelect", "StabilizeSelect"]
+
+
+class BaseSelect:
+    """Shared point-clicking machinery on a background frame."""
+
+    def __init__(self, img, dst=None, logger=None, max_points=None, title=""):
+        import matplotlib.pyplot as plt
+
+        self.logger = logger or logging.getLogger(__name__)
+        self.img = img
+        self.dst = dst
+        self.src: List[List[float]] = []
+        self.max_points = max_points
+        fig, ax = plt.subplots(figsize=(12, 7))
+        ax.imshow(img, cmap="gray" if img.ndim == 2 else None)
+        ax.set_title(title)
+        self.fig = fig
+        self.ax = ax
+        (self.pts_plot,) = ax.plot([], [], "r+", markersize=12)
+        self.cid_click = fig.canvas.mpl_connect("button_press_event", self.on_click)
+        self.cid_key = fig.canvas.mpl_connect("key_press_event", self.on_key)
+        self.done = False
+
+    def on_click(self, event):
+        if event.inaxes != self.ax or event.xdata is None:
+            return
+        if event.button == 1:
+            if self.max_points is None or len(self.src) < self.max_points:
+                self.src.append([float(event.xdata), float(event.ydata)])
+                self.logger.debug(f"Point {len(self.src)}: ({event.xdata:.1f}, {event.ydata:.1f})")
+        elif event.button == 3 and self.src:
+            self.src.pop()
+        self.redraw()
+        if self.max_points is not None and len(self.src) == self.max_points:
+            self.on_complete()
+
+    def on_key(self, event):
+        if event.key == "enter":
+            self.on_complete()
+        elif event.key == "escape":
+            if self.src:
+                self.src.pop()
+                self.redraw()
+
+    def redraw(self):
+        pts = np.array(self.src) if self.src else np.zeros((0, 2))
+        self.pts_plot.set_data(pts[:, 0], pts[:, 1])
+        self.fig.canvas.draw_idle()
+
+    def on_complete(self):
+        self.done = True
+
+    def run(self):
+        import matplotlib.pyplot as plt
+
+        plt.show(block=True)
+        return self.src
+
+
+class GcpSelect(BaseSelect):
+    """Click ground control points; shows live optimized-pose reprojection."""
+
+    def __init__(self, img, dst, crs=None, lens_position=None, camera_matrix=None, dist_coeffs=None, logger=None, **kwargs):
+        super().__init__(
+            img,
+            dst=dst,
+            logger=logger,
+            max_points=len(dst),
+            title=f"Click the {len(dst)} control points in the order of your destination list "
+            "(right-click to undo, Enter to finish)",
+        )
+        self.crs = crs
+        self.lens_position = lens_position
+        self.camera_matrix = camera_matrix
+        self.dist_coeffs = dist_coeffs
+        (self.est_plot,) = self.ax.plot([], [], "co", markersize=8, fillstyle="none")
+        self.camera_matrix_fit = None
+        self.dist_coeffs_fit = None
+
+    def on_complete(self):
+        """Fit intrinsics/pose on the clicked points and show reprojection."""
+        from . import cli_utils
+
+        if len(self.src) < min(4, len(self.dst)):
+            return
+        try:
+            height, width = self.img.shape[:2]
+            src_est, dst_est, camera_matrix, dist_coeffs, rvec, tvec, err = cli_utils.get_gcps_optimized_fit(
+                self.src,
+                self.dst,
+                height,
+                width,
+                camera_matrix=self.camera_matrix,
+                dist_coeffs=self.dist_coeffs,
+                lens_position=self.lens_position,
+            )
+            self.camera_matrix_fit = np.asarray(camera_matrix)
+            self.dist_coeffs_fit = np.asarray(dist_coeffs)
+            src_est = np.asarray(src_est)
+            self.est_plot.set_data(src_est[:, 0], src_est[:, 1])
+            self.ax.set_title(f"Optimized fit, mean reprojection error {err if err is not None else 0:.3f} m")
+            self.fig.canvas.draw_idle()
+            self.logger.info(f"GCP fit complete, error: {err}")
+        except Exception as e:
+            self.logger.warning(f"Could not fit GCPs: {e}")
+        self.done = True
+
+
+class AoiSelect(BaseSelect):
+    """Click 4 corner points of the area of interest."""
+
+    def __init__(self, img, src=None, dst=None, camera_config=None, logger=None, **kwargs):
+        super().__init__(
+            img,
+            logger=logger,
+            max_points=4,
+            title="Click 4 corner points: upstream-left, downstream-left, downstream-right, upstream-right",
+        )
+        self.camera_config = camera_config
+
+
+class StabilizeSelect(BaseSelect):
+    """Click a polygon around the water area (outside is used for stabilization)."""
+
+    def __init__(self, img, logger=None, **kwargs):
+        super().__init__(
+            img,
+            logger=logger,
+            max_points=None,
+            title="Click a polygon enclosing the moving water area (Enter to finish)",
+        )

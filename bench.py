@@ -59,19 +59,25 @@ def main():
     h, w = 1088, 1920
     sas = (64, 64)
     overlap = (32, 32)
-    n_frames = 17  # 16 pairs per batch
-    rng = np.random.default_rng(0)
-    imgs = rng.uniform(0, 255, size=(n_frames, h, w)).astype(np.float32)
+    n_frames = 65  # 64 pairs per batch (amortizes dispatch overhead)
     n_rows, n_cols = windows.get_field_shape((h, w), sas, overlap)
     n_pairs = n_frames - 1
 
+    from pyorc_tpu.ops import piv_pallas
+
+    use_fused = jax.default_backend() not in ("cpu",)
+
     @functools.partial(jax.jit, static_argnums=())
     def step(frames):
-        u, v, corr_max, s2n = piv.piv_pairs(frames, (h, w), sas, overlap, n_rows, n_cols)
+        fn = piv_pallas.piv_pairs_fused if use_fused else piv.piv_pairs
+        u, v, corr_max, s2n = fn(frames, (h, w), sas, overlap, n_rows, n_cols)
         # scalar checksum: forces all outputs to be computed, transfers 4 bytes
         return jnp.nansum(u) + jnp.nansum(v) + jnp.nansum(corr_max) + jnp.nansum(s2n)
 
-    dev_imgs = jax.device_put(imgs)
+    # synthesize frames on-device: measures kernel throughput, not the
+    # host->device link (which on the tunneled dev backend is very slow)
+    key = jax.random.PRNGKey(0)
+    dev_imgs = jax.block_until_ready(jax.random.uniform(key, (n_frames, h, w), jnp.float32, 0, 255))
     _ = float(step(dev_imgs))  # warmup/compile
     reps = 3
     t0 = time.perf_counter()
@@ -81,7 +87,9 @@ def main():
     pairs_per_sec = n_pairs / dt
 
     # numpy baseline proxy on a small slice (linear in pairs)
-    sec_per_pair_numpy = run_numpy_reference(imgs[:5], sas, overlap)
+    rng = np.random.default_rng(0)
+    imgs_np = rng.uniform(0, 255, size=(5, h, w)).astype(np.float32)
+    sec_per_pair_numpy = run_numpy_reference(imgs_np, sas, overlap)
     baseline_pairs_per_sec = (1.0 / sec_per_pair_numpy) * 10  # numba ~ 10x numpy
 
     print(

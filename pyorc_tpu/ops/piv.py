@@ -47,8 +47,25 @@ __all__ = [
 ]
 
 
+def _strided_axis_starts(starts: np.ndarray, w: int):
+    """If starts form an arithmetic grid whose step divides w, return (step,)."""
+    if len(starts) < 2:
+        return None
+    step = int(starts[1] - starts[0])
+    if step <= 0 or not np.all(np.diff(starts) == step):
+        return None
+    if w % step != 0:
+        return None
+    return step
+
+
 def extract_windows(frames: jnp.ndarray, row0: np.ndarray, col0: np.ndarray, wy: int, wx: int) -> jnp.ndarray:
     """Gather interrogation windows from frames.
+
+    Fast path: for the standard uniform grid whose step divides the window
+    size (e.g. 50% overlap), windows are assembled from ``w//step`` shifted
+    block reshapes per axis — pure reshapes/slices instead of gathers, which
+    XLA maps onto TPU far better.
 
     Parameters
     ----------
@@ -63,18 +80,129 @@ def extract_windows(frames: jnp.ndarray, row0: np.ndarray, col0: np.ndarray, wy:
     -------
     jnp.ndarray [..., n_rows*n_cols, wy, wx]
     """
-    iy = (np.asarray(row0)[:, None] + np.arange(wy)[None, :]).astype(np.int32)  # [n_rows, wy]
-    ix = (np.asarray(col0)[:, None] + np.arange(wx)[None, :]).astype(np.int32)  # [n_cols, wx]
-    # two single-axis takes lower to efficient XLA gathers along one dim each
-    out = jnp.take(frames, jnp.asarray(iy.ravel()), axis=-2)  # [..., n_rows*wy, W]
-    out = jnp.take(out, jnp.asarray(ix.ravel()), axis=-1)  # [..., n_rows*wy, n_cols*wx]
     lead = frames.shape[:-2]
-    out = out.reshape(lead + (len(row0), wy, len(col0), wx))
-    out = jnp.moveaxis(out, -2, -3)  # [..., n_rows, n_cols, wy, wx]
-    return out.reshape(lead + (len(row0) * len(col0), wy, wx))
+    n_rows, n_cols = len(row0), len(col0)
+    step_y = _strided_axis_starts(np.asarray(row0), wy)
+    step_x = _strided_axis_starts(np.asarray(col0), wx)
+    if step_y is not None and step_x is not None:
+        out = _extract_windows_reshape(frames, row0, col0, wy, wx, step_y, step_x)
+    else:
+        iy = (np.asarray(row0)[:, None] + np.arange(wy)[None, :]).astype(np.int32)
+        ix = (np.asarray(col0)[:, None] + np.arange(wx)[None, :]).astype(np.int32)
+        out = jnp.take(frames, jnp.asarray(iy.ravel()), axis=-2)
+        out = jnp.take(out, jnp.asarray(ix.ravel()), axis=-1)
+        out = out.reshape(lead + (n_rows, wy, n_cols, wx))
+        out = jnp.moveaxis(out, -2, -3)
+    return out.reshape(lead + (n_rows * n_cols, wy, wx))
 
 
-def _normalized_corr_planes(win_a: jnp.ndarray, win_b: jnp.ndarray) -> jnp.ndarray:
+def _extract_windows_reshape(frames, row0, col0, wy, wx, step_y, step_x):
+    """Shifted-block-reshape window extraction (no gathers)."""
+    lead = frames.shape[:-2]
+    n_rows, n_cols = len(row0), len(col0)
+    ky = wy // step_y  # number of shifted block phases per axis
+    kx = wx // step_x
+
+    # per phase p in 0..k-1, starts row0[p::k] are w-strided: one slice+reshape each
+    phases_y = []
+    for p in range(ky):
+        starts = row0[p::ky]
+        if len(starts) == 0:
+            continue
+        s0 = int(starts[0])
+        cnt = len(starts)
+        sl = jax.lax.slice_in_dim(frames, s0, s0 + cnt * wy, axis=frames.ndim - 2)
+        sl = sl.reshape(lead + (cnt, wy, frames.shape[-1]))
+        phases_y.append((p, sl))
+    # interleave phases back into row order
+    y_blocks = [None] * n_rows
+    for p, sl in phases_y:
+        for i in range(sl.shape[-3]):
+            y_blocks[p + i * ky] = jax.lax.index_in_dim(sl, i, axis=sl.ndim - 3, keepdims=False)
+    rows_stack = jnp.stack(y_blocks, axis=len(lead))  # [..., n_rows, wy, W]
+
+    phases_x = []
+    for p in range(kx):
+        starts = col0[p::kx]
+        if len(starts) == 0:
+            continue
+        s0 = int(starts[0])
+        cnt = len(starts)
+        sl = jax.lax.slice_in_dim(rows_stack, s0, s0 + cnt * wx, axis=rows_stack.ndim - 1)
+        sl = sl.reshape(lead + (n_rows, wy, cnt, wx))
+        phases_x.append((p, sl))
+    x_blocks = [None] * n_cols
+    for p, sl in phases_x:
+        for i in range(sl.shape[-2]):
+            x_blocks[p + i * kx] = jax.lax.index_in_dim(sl, i, axis=sl.ndim - 2, keepdims=False)
+    out = jnp.stack(x_blocks, axis=len(lead) + 1)  # [..., n_rows, n_cols, wy, wx]
+    return out
+
+
+_DFT_CACHE = {}
+
+
+def _dft_mats(n: int):
+    """Real/imag parts of the n-point DFT matrix (cached, float32)."""
+    if n not in _DFT_CACHE:
+        k = np.arange(n, dtype=np.float64)
+        ang = -2.0 * np.pi * k[:, None] * k[None, :] / n
+        _DFT_CACHE[n] = (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+    return _DFT_CACHE[n]
+
+
+def default_corr_method() -> str:
+    """'matmul' on TPU-class backends (DFT as MXU matmuls beats XLA's FFT for
+    PIV-sized windows), 'fft' elsewhere."""
+    import jax
+
+    platform = jax.default_backend()
+    return "matmul" if platform not in ("cpu",) else "fft"
+
+
+def _corr_raw_matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Circular cross-correlation of demeaned windows via matmul-DFT.
+
+    The 2-D DFT of each window is expressed as dense [n, n] matrix products,
+    which map onto the TPU MXU; for 32-64 px PIV windows this wins over the
+    FFT lowering despite the higher FLOP count. a, b: [..., wy, wx] float32.
+    """
+    wy, wx = a.shape[-2], a.shape[-1]
+    cy, sy = (jnp.asarray(m) for m in _dft_mats(wy))
+    cx, sx = (jnp.asarray(m) for m in _dft_mats(wx))
+
+    def dft2(v):
+        # right multiply: columns transform. P + iQ = v @ (Cx + iSx)^T
+        p = jnp.matmul(v, cx.T, preferred_element_type=jnp.float32)
+        q = jnp.matmul(v, sx.T, preferred_element_type=jnp.float32)
+        # left multiply: (Cy + iSy) @ (P + iQ)
+        re = jnp.matmul(cy, p, preferred_element_type=jnp.float32) - jnp.matmul(
+            sy, q, preferred_element_type=jnp.float32
+        )
+        im = jnp.matmul(cy, q, preferred_element_type=jnp.float32) + jnp.matmul(
+            sy, p, preferred_element_type=jnp.float32
+        )
+        return re, im
+
+    a_re, a_im = dft2(a)
+    b_re, b_im = dft2(b)
+    # spectral product conj(A) * B
+    s_re = a_re * b_re + a_im * b_im
+    s_im = a_re * b_im - a_im * b_re
+    # inverse DFT: (1/N) conj(F_y) @ S @ conj(F_x)^T, real part only
+    u_re = jnp.matmul(cy, s_re, preferred_element_type=jnp.float32) + jnp.matmul(
+        sy, s_im, preferred_element_type=jnp.float32
+    )
+    u_im = jnp.matmul(cy, s_im, preferred_element_type=jnp.float32) - jnp.matmul(
+        sy, s_re, preferred_element_type=jnp.float32
+    )
+    v_re = jnp.matmul(u_re, cx.T, preferred_element_type=jnp.float32) + jnp.matmul(
+        u_im, sx.T, preferred_element_type=jnp.float32
+    )
+    return v_re / (wy * wx)
+
+
+def _normalized_corr_planes(win_a: jnp.ndarray, win_b: jnp.ndarray, corr_method: str = "fft") -> jnp.ndarray:
     """Circular normalized cross-correlation planes for window pairs.
 
     win_a, win_b: [..., wy, wx] float32. Returns fftshifted planes, same shape.
@@ -85,9 +213,12 @@ def _normalized_corr_planes(win_a: jnp.ndarray, win_b: jnp.ndarray) -> jnp.ndarr
     b = win_b - jnp.mean(win_b, axis=(-2, -1), keepdims=True)
     sa = jnp.sqrt(jnp.mean(a * a, axis=(-2, -1)))
     sb = jnp.sqrt(jnp.mean(b * b, axis=(-2, -1)))
-    fa = jnp.fft.rfft2(a)
-    fb = jnp.fft.rfft2(b)
-    corr = jnp.fft.irfft2(jnp.conj(fa) * fb, s=(wy, wx))
+    if corr_method == "matmul":
+        corr = _corr_raw_matmul(a, b)
+    else:
+        fa = jnp.fft.rfft2(a)
+        fb = jnp.fft.rfft2(b)
+        corr = jnp.fft.irfft2(jnp.conj(fa) * fb, s=(wy, wx))
     corr = jnp.fft.fftshift(corr, axes=(-2, -1))
     denom = n_pix * sa * sb
     corr = corr / jnp.maximum(denom, 1e-10)[..., None, None]
@@ -107,6 +238,7 @@ def cross_corr(
     search_area_size: Optional[Tuple[int, int]] = None,
     normalize: bool = False,
     signal_threshold: Optional[float] = None,
+    corr_method: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray, jnp.ndarray]:
     """Windowed FFT cross-correlation over all consecutive frame pairs.
 
@@ -139,12 +271,13 @@ def cross_corr(
         tuple(win._as2(overlap)),
         bool(normalize),
         None if signal_threshold is None else float(signal_threshold),
+        default_corr_method() if corr_method == "auto" else corr_method,
     )
     return cols, rows, corr
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
-def _cross_corr_jit(imgs, dim_size, sas, overlap, normalize, signal_threshold):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def _cross_corr_jit(imgs, dim_size, sas, overlap, normalize, signal_threshold, corr_method="fft"):
     row0, col0 = win.get_window_starts(dim_size, sas, overlap)
     frames = imgs.astype(jnp.float32)
     w = extract_windows(frames, row0, col0, sas[0], sas[1])  # [T, nw, wy, wx]
@@ -152,7 +285,7 @@ def _cross_corr_jit(imgs, dim_size, sas, overlap, normalize, signal_threshold):
         mu = jnp.mean(w, axis=(-2, -1), keepdims=True)
         sd = jnp.std(w, axis=(-2, -1), keepdims=True)
         w = (w - mu) / jnp.maximum(sd, 1e-6)
-    corr = _normalized_corr_planes(w[:-1], w[1:])
+    corr = _normalized_corr_planes(w[:-1], w[1:], corr_method)
     if signal_threshold is not None:
         signal = jnp.mean(w > 0, axis=(-2, -1))  # fraction of non-zero pixels
         pair_signal = jnp.minimum(signal[:-1], signal[1:])
@@ -231,14 +364,14 @@ def u_v_displacement(corr: jnp.ndarray, n_rows: int, n_cols: int) -> Tuple[jnp.n
     return u, v
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
-def piv_pairs(imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold=None):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+def _piv_pairs_jit(imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold, corr_method):
     """Full per-pair PIV: frames [T,H,W] -> (u, v, corr_max, s2n), each [T-1, n_rows, n_cols].
 
     One fused jit: gather -> FFT corr -> stats -> subpixel. Displacements in
     pixels (caller scales by resolution/dt).
     """
-    corr = _cross_corr_jit(imgs, dim_size, sas, overlap, False, signal_threshold)
+    corr = _cross_corr_jit(imgs, dim_size, sas, overlap, False, signal_threshold, corr_method)
     corr_max, s2n = corr_stats(corr)
     u, v = u_v_displacement(corr, n_rows, n_cols)
     corr_max = corr_max.reshape(-1, n_rows, n_cols)
@@ -246,8 +379,15 @@ def piv_pairs(imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold=Non
     return u, v, corr_max, s2n
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
-def piv_ensemble_scan(
+def piv_pairs(imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold=None, corr_method="auto"):
+    """Full per-pair PIV (see _piv_pairs_jit); corr_method 'auto' picks the
+    matmul-DFT path on TPU backends and FFT on CPU."""
+    method = default_corr_method() if corr_method == "auto" else corr_method
+    return _piv_pairs_jit(imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold, method)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9))
+def _piv_ensemble_scan_jit(
     imgs,
     dim_size,
     sas,
@@ -257,6 +397,7 @@ def piv_ensemble_scan(
     corr_min=0.2,
     s2n_min=3.0,
     signal_threshold=None,
+    corr_method="fft",
 ):
     """Ensemble PIV over all frame pairs with a streaming accumulator.
 
@@ -280,7 +421,7 @@ def piv_ensemble_scan(
     def step(carry, pair):
         corr_sum, corr_count = carry
         wa, wb, sig_ok = pair
-        corr = _normalized_corr_planes(wa, wb)
+        corr = _normalized_corr_planes(wa, wb, corr_method)
         corr = jnp.where(sig_ok[..., None, None], corr, jnp.nan)
         corr_max = jnp.nanmax(corr, axis=(-2, -1))
         s2n = corr_max / jnp.nanmean(corr, axis=(-2, -1))
@@ -302,3 +443,13 @@ def piv_ensemble_scan(
     )
     (corr_sum, corr_count), (corr_max, s2n) = jax.lax.scan(step, init, (w[:-1], w[1:], sig_ok))
     return corr_sum, corr_count, corr_max.reshape(-1, n_rows, n_cols), s2n.reshape(-1, n_rows, n_cols)
+
+
+def piv_ensemble_scan(
+    imgs, dim_size, sas, overlap, n_rows, n_cols, corr_min=0.2, s2n_min=3.0, signal_threshold=None, corr_method="auto"
+):
+    """Ensemble PIV (see _piv_ensemble_scan_jit); corr_method 'auto' picks per backend."""
+    method = default_corr_method() if corr_method == "auto" else corr_method
+    return _piv_ensemble_scan_jit(
+        imgs, dim_size, sas, overlap, n_rows, n_cols, corr_min, s2n_min, signal_threshold, method
+    )

@@ -1,0 +1,301 @@
+"""Fused Pallas TPU kernel for PIV: band-resident window correlation.
+
+The XLA-composed pipeline (ops.piv) materializes the interrogation-window
+stack ([pairs, windows, wy, wx] — with 50% overlap ~4x the frame bytes) and
+the correlation planes in HBM. This kernel removes both round-trips:
+
+  grid = (n_pairs,); per program a fori_loop walks the row bands with
+  double-buffered DMA: two [wy, W] image bands (frame t and t+1) stream into
+  VMEM while the previous band computes. Windows of each band are built by
+  shifted reshapes, demeaned, transformed with a matmul-DFT (MXU), spectrally
+  conjugate-multiplied, inverse-transformed, and each correlation plane is
+  reduced to (u, v, corr_max, s2n) with a one-hot peak + 3-point Gaussian
+  subpixel fit — all in VMEM. Only [n_rows, n_cols]-sized results are written.
+
+HBM traffic drops from ~8x frame bytes to ~2x frame bytes + O(n_windows)
+outputs; the DFT matmuls run on the MXU at fp32.
+
+Window grid assumption (checked by the wrapper): uniform starts whose step
+divides the window size — the standard PIV configuration.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import windows as win
+from .piv import _dft_mats
+
+__all__ = ["piv_pairs_fused"]
+
+
+def _band_windows(band, c0, cnt, wx, step_x):
+    """[wy, W] band -> [cnt, wy, wx] windows for columns [c0, c0+cnt).
+
+    Static lane-dimension slices + stack: Mosaic cannot split the lane
+    dimension via reshape, but aligned lane slices lower cleanly.
+    """
+    wins = [
+        jax.lax.slice_in_dim(band, (c0 + c) * step_x, (c0 + c) * step_x + wx, axis=1)[None]
+        for c in range(cnt)
+    ]
+    return jnp.concatenate(wins, axis=0)
+
+
+def _r2(op, x):
+    """Two-step reduction over the last two axes with keepdims (Mosaic cannot
+    lower multi-axis keepdims reductions in one op)."""
+    return op(op(x, axis=-1, keepdims=True), axis=-2, keepdims=True)
+
+
+def _band_results(band_a, band_b, cy, sy, cxt, sxt, wy, wx, step_x, c0, cnt):
+    """Correlate windows [c0, c0+cnt) of one row band; returns (u, v, cmax, s2n) [cnt, 1].
+
+    NB: every intermediate stays rank>=2 (keepdims reductions) — Mosaic's
+    vector layout inference rejects rank-1 values.
+    """
+    wa = _band_windows(band_a, c0, cnt, wx, step_x).astype(jnp.float32)
+    wb = _band_windows(band_b, c0, cnt, wx, step_x).astype(jnp.float32)
+
+    n_pix = wy * wx
+    a = wa - _r2(jnp.mean, wa)
+    b = wb - _r2(jnp.mean, wb)
+    sa = jnp.sqrt(_r2(jnp.mean, a * a))  # [n_cols,1,1]
+    sb = jnp.sqrt(_r2(jnp.mean, b * b))
+
+    # 2-D matmul-DFT with right-multiplications only: Mosaic lowers batched
+    # right matmuls and batched minor-dim transposes, but a broadcast LEFT
+    # matmul would need an unsupported lane-merging reshape. We therefore keep
+    # spectra TRANSPOSED: At = (Fy v FxT)^T = (P + iQ) ^T (CyT + iSyT).
+    T = lambda x: jnp.swapaxes(x, -1, -2)
+    cyT = jnp.swapaxes(cy, 0, 1)
+    syT = jnp.swapaxes(sy, 0, 1)
+
+    def dft2t(v):
+        p_ = jnp.matmul(v, cxt, preferred_element_type=jnp.float32)
+        q_ = jnp.matmul(v, sxt, preferred_element_type=jnp.float32)
+        pt = T(p_)
+        qt = T(q_)
+        at_re = jnp.matmul(pt, cyT, preferred_element_type=jnp.float32) - jnp.matmul(
+            qt, syT, preferred_element_type=jnp.float32
+        )
+        at_im = jnp.matmul(pt, syT, preferred_element_type=jnp.float32) + jnp.matmul(
+            qt, cyT, preferred_element_type=jnp.float32
+        )
+        return at_re, at_im
+
+    at_re, at_im = dft2t(a)
+    bt_re, bt_im = dft2t(b)
+    # conj(A) * B, elementwise (commutes with transposition)
+    st_re = at_re * bt_re + at_im * bt_im
+    st_im = at_re * bt_im - at_im * bt_re
+    # inverse: corr = (1/N) Re(conj(Fy) S conj(Fx)^T) with S = T(St)
+    st_re_t = T(st_re)
+    st_im_t = T(st_im)
+    v_re = jnp.matmul(st_re_t, cxt, preferred_element_type=jnp.float32) + jnp.matmul(
+        st_im_t, sxt, preferred_element_type=jnp.float32
+    )
+    v_im = jnp.matmul(st_im_t, cxt, preferred_element_type=jnp.float32) - jnp.matmul(
+        st_re_t, sxt, preferred_element_type=jnp.float32
+    )
+    corr = T(
+        jnp.matmul(T(v_re), cyT, preferred_element_type=jnp.float32)
+        + jnp.matmul(T(v_im), syT, preferred_element_type=jnp.float32)
+    )
+    corr = corr / n_pix
+    denom = jnp.maximum(n_pix * sa * sb, 1e-10)
+    corr = corr / denom
+    corr = jnp.maximum(corr, 0.0)
+    valid = (sa > 1e-6) & (sb > 1e-6)  # [n_cols,1,1]
+    corr = jnp.where(valid, corr, 0.0)
+    # fftshift both axes
+    corr = pltpu.roll(corr, wy // 2, 1)
+    corr = pltpu.roll(corr, wx // 2, 2)
+
+    cmax = _r2(jnp.max, corr)  # [n_cols,1,1]
+    cmean = _r2(jnp.mean, corr)
+    s2n = cmax / jnp.maximum(cmean, 1e-10)
+
+    # One-hot peak localization + 3-point Gaussian subpixel, matching
+    # ops.piv.subpixel_peak exactly: first (row-major) argmax, stencil clamped
+    # one pixel inside, centre re-read at the clamped position.
+    is_peak = (corr >= cmax).astype(jnp.float32)
+    # tpu.iota only produces integers; cast afterwards
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, corr.shape, 1).astype(jnp.float32)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, corr.shape, 2).astype(jnp.float32)
+    lin_ids = row_ids * wx + col_ids
+    big = jnp.float32(wy * wx * 2)
+    first_lin = _r2(jnp.min, jnp.where(is_peak > 0, lin_ids, big))
+    iy = jnp.floor(first_lin / wx)
+    ix = first_lin - iy * wx
+    iyc = jnp.clip(iy, 1.0, wy - 2.0)
+    ixc = jnp.clip(ix, 1.0, wx - 2.0)
+    onehot = ((row_ids == iyc) & (col_ids == ixc)).astype(jnp.float32)
+
+    eps = 1e-10
+    c0 = jnp.maximum(_r2(jnp.sum, onehot * corr), eps)
+    # neighbours via rolled planes (pltpu.roll shifts must be non-negative)
+    cl = jnp.maximum(_r2(jnp.sum, onehot * pltpu.roll(corr, 1, 2)), eps)
+    cr = jnp.maximum(_r2(jnp.sum, onehot * pltpu.roll(corr, wx - 1, 2)), eps)
+    cu = jnp.maximum(_r2(jnp.sum, onehot * pltpu.roll(corr, 1, 1)), eps)
+    cd = jnp.maximum(_r2(jnp.sum, onehot * pltpu.roll(corr, wy - 1, 1)), eps)
+    log0 = jnp.log(c0)
+
+    def safe_div(num, den):
+        den = jnp.where(jnp.abs(den) < eps, -eps, den)
+        return num / den
+
+    dx = safe_div(jnp.log(cl) - jnp.log(cr), 2 * jnp.log(cl) - 4 * log0 + 2 * jnp.log(cr))
+    dy = safe_div(jnp.log(cu) - jnp.log(cd), 2 * jnp.log(cu) - 4 * log0 + 2 * jnp.log(cd))
+    dx = jnp.clip(dx, -1.0, 1.0)
+    dy = jnp.clip(dy, -1.0, 1.0)
+    u = (ixc + dx) - wx // 2
+    v = -((iyc + dy) - wy // 2)
+    u = jnp.where(valid, u, jnp.nan)
+    v = jnp.where(valid, v, jnp.nan)
+    # [n_cols, 1, 1] -> [n_cols, 1] (rank stays >= 2)
+    sq = lambda x: jax.lax.squeeze(x, (2,))
+    return sq(u), sq(v), sq(cmax), sq(s2n)
+
+
+def _kernel(
+    frames_hbm,  # ANY/HBM ref [T, H, W]
+    cy_ref,
+    sy_ref,
+    cx_ref,
+    sx_ref,
+    u_ref,
+    v_ref,
+    cmax_ref,
+    s2n_ref,
+    band_a,  # VMEM scratch [2, wy, W] (double buffer)
+    band_b,
+    sem_a,
+    sem_b,
+    *,
+    wy: int,
+    wx: int,
+    step_y: int,
+    step_x: int,
+    n_rows: int,
+    n_cols: int,
+):
+    pair = pl.program_id(0)
+    cy = cy_ref[:]
+    sy = sy_ref[:]
+    cxt = cx_ref[:].T
+    sxt = sx_ref[:].T
+
+    def get_dma(slot, band_idx):
+        r0 = band_idx * step_y
+        return (
+            pltpu.make_async_copy(frames_hbm.at[pair, pl.ds(r0, wy), :], band_a.at[slot], sem_a.at[slot]),
+            pltpu.make_async_copy(frames_hbm.at[pair + 1, pl.ds(r0, wy), :], band_b.at[slot], sem_b.at[slot]),
+        )
+
+    da0, db0 = get_dma(0, 0)
+    da0.start()
+    db0.start()
+
+    def loop_body(band_idx, _):
+        slot = band_idx % 2
+        nxt = (band_idx + 1) % 2
+
+        @pl.when(band_idx + 1 < n_rows)
+        def _():
+            da, db = get_dma(nxt, band_idx + 1)
+            da.start()
+            db.start()
+
+        da, db = get_dma(slot, band_idx)
+        da.wait()
+        db.wait()
+        # process the band's windows in column chunks to bound VMEM pressure
+        col_chunk = 24
+        for c0 in range(0, n_cols, col_chunk):
+            cnt = min(col_chunk, n_cols - c0)
+            u, v, cmax, s2n = _band_results(
+                band_a[slot], band_b[slot], cy, sy, cxt, sxt, wy, wx, step_x, c0, cnt
+            )
+            u_ref[0, band_idx, c0 : c0 + cnt, :] = u
+            v_ref[0, band_idx, c0 : c0 + cnt, :] = v
+            cmax_ref[0, band_idx, c0 : c0 + cnt, :] = cmax
+            s2n_ref[0, band_idx, c0 : c0 + cnt, :] = s2n
+        return 0
+
+    jax.lax.fori_loop(0, n_rows, loop_body, 0)
+
+
+def piv_pairs_fused(
+    imgs,
+    dim_size: Tuple[int, int],
+    sas: Tuple[int, int],
+    overlap: Tuple[int, int],
+    n_rows: int,
+    n_cols: int,
+    signal_threshold: Optional[float] = None,
+    interpret: bool = False,
+):
+    """Fused-kernel PIV: frames [T,H,W] -> (u, v, corr_max, s2n) [T-1, n_rows, n_cols].
+
+    Falls back to the XLA-composed pipeline when the window grid does not
+    match the strided fast-path layout or a signal_threshold is requested.
+    """
+    from . import piv as piv_ops
+
+    wy, wx = sas
+    row0, col0 = win.get_window_starts(dim_size, sas, overlap)
+    step_y = piv_ops._strided_axis_starts(np.asarray(row0), wy)
+    step_x = piv_ops._strided_axis_starts(np.asarray(col0), wx)
+    if step_y is None or step_x is None or signal_threshold is not None:
+        return piv_ops.piv_pairs(imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold)
+    return _piv_pairs_fused_jit(
+        jnp.asarray(imgs), dim_size, (wy, wx), (step_y, step_x), n_rows, n_cols, bool(interpret)
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def _piv_pairs_fused_jit(imgs, dim_size, sas, steps, n_rows, n_cols, interpret):
+    wy, wx = sas
+    step_y, step_x = steps
+    t = imgs.shape[0]
+    n_pairs = t - 1
+    w_img = imgs.shape[-1]
+    cy, sy = (jnp.asarray(m) for m in _dft_mats(wy))
+    cx, sx = (jnp.asarray(m) for m in _dft_mats(wx))
+    frames = imgs.astype(jnp.float32)
+
+    kernel = functools.partial(
+        _kernel, wy=wy, wx=wx, step_y=step_y, step_x=step_x, n_rows=n_rows, n_cols=n_cols
+    )
+    out_shape = [jax.ShapeDtypeStruct((n_pairs, n_rows, n_cols, 1), jnp.float32) for _ in range(4)]
+    out_spec = pl.BlockSpec((1, n_rows, n_cols, 1), lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM)
+    mat_spec = lambda n: pl.BlockSpec((n, n), lambda p: (0, 0), memory_space=pltpu.VMEM)
+    u, v, cmax, s2n = pl.pallas_call(
+        kernel,
+        grid=(n_pairs,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # frames stay in HBM; DMA'd per band
+            mat_spec(wy),
+            mat_spec(wy),
+            mat_spec(wx),
+            mat_spec(wx),
+        ],
+        out_specs=[out_spec] * 4,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, wy, w_img), jnp.float32),
+            pltpu.VMEM((2, wy, w_img), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(frames, cy, sy, cx, sx)
+    return u[..., 0], v[..., 0], cmax[..., 0], s2n[..., 0]

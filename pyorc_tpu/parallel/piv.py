@@ -62,6 +62,7 @@ def piv_pairs_sharded(
     search_area_size: Optional[Tuple[int, int]] = None,
     mesh: Optional[Mesh] = None,
     signal_threshold: Optional[float] = None,
+    corr_method: str = "auto",
 ):
     """Per-timestep PIV sharded over frame pairs.
 
@@ -84,7 +85,7 @@ def piv_pairs_sharded(
     def run(frames_dev):
         # frames_dev: [1, P+1, H, W] on each device
         u, v, cmax, s2n = piv_ops.piv_pairs(
-            frames_dev[0], dim_size, sas, ov, n_rows, n_cols, signal_threshold
+            frames_dev[0], dim_size, sas, ov, n_rows, n_cols, signal_threshold, corr_method
         )
         return u[None], v[None], cmax[None], s2n[None]
 
@@ -104,6 +105,7 @@ def piv_ensemble_sharded(
     corr_min: float = 0.2,
     s2n_min: float = 3.0,
     signal_threshold: Optional[float] = None,
+    corr_method: str = "auto",
 ):
     """Ensemble PIV sharded over frame pairs with psum-reduced accumulators.
 
@@ -117,6 +119,7 @@ def piv_ensemble_sharded(
     dim_size = imgs.shape[-2:]
     n_rows, n_cols = win.get_field_shape(dim_size, sas, ov)
     stacked, n_pairs = pad_pairs_for_devices(np.asarray(imgs), n_dev)
+    method = piv_ops.default_corr_method() if corr_method == "auto" else corr_method
     per_dev = stacked.shape[1] - 1
     # mask out padded pairs inside the reduction
     pair_valid = (np.arange(n_dev * per_dev) < n_pairs).reshape(n_dev, per_dev)
@@ -143,7 +146,7 @@ def piv_ensemble_sharded(
         def step(carry, pair):
             corr_sum, corr_count = carry
             wa, wb, ok_sig = pair
-            corr = piv_ops._normalized_corr_planes(wa, wb)
+            corr = piv_ops._normalized_corr_planes(wa, wb, method)
             corr = jnp.where(ok_sig[..., None, None], corr, jnp.nan)
             corr_max = jnp.nanmax(corr, axis=(-2, -1))
             s2n = corr_max / jnp.nanmean(corr, axis=(-2, -1))

@@ -118,13 +118,23 @@ def _piv_timestep(
 
     from tqdm import tqdm
 
+    from ..ops import piv_pallas
+
+    # the fused Pallas kernel is the fast path on TPU backends; the XLA
+    # pipeline covers CPU and non-strided window grids
+    use_fused = jax.default_backend() not in ("cpu",)
     dt_vals = np.asarray(dt.values if hasattr(dt, "values") else dt, dtype=np.float64)
     us, vs, cms, s2ns = [], [], [], []
     pbar = tqdm(total=data.shape[0] - 1, desc="PIV (per frame pair)", position=0, leave=True)
     for start, chunk in _iter_chunks(data, chunksize):
-        u, v, cmax, s2n = piv_ops.piv_pairs(
-            jax.device_put(np.asarray(chunk)), dim_size, sas, ov, n_rows, n_cols, signal_threshold
-        )
+        if use_fused:
+            u, v, cmax, s2n = piv_pallas.piv_pairs_fused(
+                jax.device_put(np.asarray(chunk)), dim_size, sas, ov, n_rows, n_cols, signal_threshold
+            )
+        else:
+            u, v, cmax, s2n = piv_ops.piv_pairs(
+                jax.device_put(np.asarray(chunk)), dim_size, sas, ov, n_rows, n_cols, signal_threshold
+            )
         us.append(np.asarray(u))
         vs.append(np.asarray(v))
         cms.append(np.asarray(cmax))

@@ -184,3 +184,25 @@ def test_memory_planner():
     assert req > 0
     avail = windows.available_memory()
     assert avail > 1 << 28  # at least 256 MB anywhere we run
+
+
+def test_fused_pallas_matches_xla(rng):
+    """The fused Pallas kernel (interpret mode on CPU) matches the XLA pipeline."""
+    from pyorc_tpu.ops import piv_pallas
+
+    img_a = make_particle_image(rng, 128, 256)
+    img_b = shift_image(img_a, 2.0, -1.0)
+    imgs = np.stack([img_a, img_b, shift_image(img_a, 4.0, -2.0)]).astype(np.float32)
+    h, w = img_a.shape
+    n_rows, n_cols = windows.get_field_shape((h, w), (32, 32), (16, 16))
+    u1, v1, c1, s1 = (
+        np.asarray(x) for x in piv.piv_pairs(imgs, (h, w), (32, 32), (16, 16), n_rows, n_cols, None, "matmul")
+    )
+    u2, v2, c2, s2 = (
+        np.asarray(x)
+        for x in piv_pallas.piv_pairs_fused(imgs, (h, w), (32, 32), (16, 16), n_rows, n_cols, interpret=True)
+    )
+    assert np.allclose(u1, u2, atol=1e-4, equal_nan=True)
+    assert np.allclose(v1, v2, atol=1e-4, equal_nan=True)
+    assert np.allclose(c1, c2, atol=1e-5)
+    assert np.allclose(s1, s2, atol=1e-3)

@@ -1,0 +1,225 @@
+// Native video decode pump for pyorc_tpu.
+//
+// Multi-threaded FFmpeg (libavformat/libavcodec/libswscale) decoder exposed
+// through a C ABI for ctypes. This is the TPU build's native replacement for
+// the reference's cv2.VideoCapture decode loop (reference
+// pyorc/api/video.py:136-211, pyorc/cv.py:876-990): the I/O pump that feeds
+// decoded frame batches to the device pipeline. Decoding runs with
+// codec-internal threading (thread_count=0 -> auto), and batches are written
+// straight into caller-provided buffers (numpy arrays) without extra copies.
+//
+// Build: g++ -O3 -shared -fPIC decoder.cpp -o libpyorc_decoder.so
+//        -lavformat -lavcodec -lavutil -lswscale  (see native/Makefile)
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+
+namespace {
+
+struct VideoCtx {
+    AVFormatContext* fmt = nullptr;
+    AVCodecContext* codec = nullptr;
+    SwsContext* sws = nullptr;
+    AVFrame* frame = nullptr;
+    AVPacket* pkt = nullptr;
+    uint8_t* bgr_scratch = nullptr;  // H*W*3 staging for the gray path
+    int stream_idx = -1;
+    int width = 0;
+    int height = 0;
+    double fps = 0.0;
+    int64_t n_frames = 0;
+    int64_t next_frame = 0;  // next frame number the decoder will produce
+    int sws_fmt = -1;        // current swscale target format
+    std::string error;
+};
+
+// cv2's BGR->GRAY fixed-point weights (imgproc color_lut: R 0.299 G 0.587
+// B 0.114 scaled by 2^14 with round-half-up), applied to the same
+// swscale-BGR24 pixels cv2's FFMPEG backend produces, so gray frames are
+// bit-identical to cv2.cvtColor(cap.read(), COLOR_BGR2GRAY).
+inline void bgr_to_gray_cv(const uint8_t* bgr, uint8_t* gray, int64_t n_px) {
+    constexpr int kB = 1868, kG = 9617, kR = 4899, kHalf = 1 << 13;
+    for (int64_t i = 0; i < n_px; ++i) {
+        const uint8_t* p = bgr + i * 3;
+        gray[i] = (uint8_t)((p[0] * kB + p[1] * kG + p[2] * kR + kHalf) >> 14);
+    }
+}
+
+inline void bgr_to_rgb(const uint8_t* bgr, uint8_t* rgb, int64_t n_px) {
+    for (int64_t i = 0; i < n_px; ++i) {
+        rgb[i * 3 + 0] = bgr[i * 3 + 2];
+        rgb[i * 3 + 1] = bgr[i * 3 + 1];
+        rgb[i * 3 + 2] = bgr[i * 3 + 0];
+    }
+}
+
+int64_t pts_to_frame(const VideoCtx* ctx, int64_t pts) {
+    AVStream* st = ctx->fmt->streams[ctx->stream_idx];
+    double sec = pts * av_q2d(st->time_base);
+    return (int64_t)(sec * ctx->fps + 0.5);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* vd_open(const char* path) {
+    auto* ctx = new VideoCtx();
+    if (avformat_open_input(&ctx->fmt, path, nullptr, nullptr) < 0) {
+        delete ctx;
+        return nullptr;
+    }
+    if (avformat_find_stream_info(ctx->fmt, nullptr) < 0) {
+        avformat_close_input(&ctx->fmt);
+        delete ctx;
+        return nullptr;
+    }
+    const AVCodec* dec = nullptr;
+    ctx->stream_idx = av_find_best_stream(ctx->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &dec, 0);
+    if (ctx->stream_idx < 0 || dec == nullptr) {
+        avformat_close_input(&ctx->fmt);
+        delete ctx;
+        return nullptr;
+    }
+    AVStream* st = ctx->fmt->streams[ctx->stream_idx];
+    ctx->codec = avcodec_alloc_context3(dec);
+    avcodec_parameters_to_context(ctx->codec, st->codecpar);
+    ctx->codec->thread_count = 0;  // auto: frame+slice threading
+    ctx->codec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
+    if (avcodec_open2(ctx->codec, dec, nullptr) < 0) {
+        avcodec_free_context(&ctx->codec);
+        avformat_close_input(&ctx->fmt);
+        delete ctx;
+        return nullptr;
+    }
+    ctx->width = ctx->codec->width;
+    ctx->height = ctx->codec->height;
+    AVRational fr = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
+    ctx->fps = fr.den ? av_q2d(fr) : 0.0;
+    ctx->n_frames = st->nb_frames;
+    if (ctx->n_frames <= 0 && ctx->fps > 0 && ctx->fmt->duration > 0) {
+        ctx->n_frames = (int64_t)(ctx->fmt->duration / (double)AV_TIME_BASE * ctx->fps + 0.5);
+    }
+    ctx->frame = av_frame_alloc();
+    ctx->pkt = av_packet_alloc();
+    ctx->next_frame = 0;
+    return ctx;
+}
+
+int vd_meta(void* handle, double* fps, int64_t* n_frames, int* w, int* h) {
+    auto* ctx = static_cast<VideoCtx*>(handle);
+    if (!ctx) return -1;
+    *fps = ctx->fps;
+    *n_frames = ctx->n_frames;
+    *w = ctx->width;
+    *h = ctx->height;
+    return 0;
+}
+
+// decode `count` frames starting at frame number `start`; gray!=0 -> GRAY8
+// (H*W bytes/frame), else RGB24 (H*W*3). Returns frames written, <0 on error.
+int64_t vd_read(void* handle, int64_t start, int64_t count, int gray, uint8_t* out) {
+    auto* ctx = static_cast<VideoCtx*>(handle);
+    if (!ctx) return -1;
+    AVStream* st = ctx->fmt->streams[ctx->stream_idx];
+
+    if (start != ctx->next_frame) {
+        // seek to the keyframe at/before start, then roll forward
+        int64_t ts = (int64_t)((start / ctx->fps) / av_q2d(st->time_base));
+        if (av_seek_frame(ctx->fmt, ctx->stream_idx, ts, AVSEEK_FLAG_BACKWARD) >= 0) {
+            avcodec_flush_buffers(ctx->codec);
+            ctx->next_frame = -1;  // unknown until first decoded frame
+        }
+    }
+
+    const int target_fmt = gray ? AV_PIX_FMT_GRAY8 : AV_PIX_FMT_RGB24;
+    const int64_t frame_bytes = (int64_t)ctx->width * ctx->height * (gray ? 1 : 3);
+    int64_t written = 0;
+
+    while (written < count) {
+        int ret = av_read_frame(ctx->fmt, ctx->pkt);
+        bool flushing = false;
+        if (ret < 0) {
+            // EOF: flush decoder
+            avcodec_send_packet(ctx->codec, nullptr);
+            flushing = true;
+        } else if (ctx->pkt->stream_index != ctx->stream_idx) {
+            av_packet_unref(ctx->pkt);
+            continue;
+        } else {
+            avcodec_send_packet(ctx->codec, ctx->pkt);
+            av_packet_unref(ctx->pkt);
+        }
+        while (true) {
+            int r = avcodec_receive_frame(ctx->codec, ctx->frame);
+            if (r < 0) break;
+            int64_t fno;
+            if (ctx->next_frame < 0) {
+                int64_t pts = ctx->frame->best_effort_timestamp;
+                fno = (pts == AV_NOPTS_VALUE) ? start : pts_to_frame(ctx, pts);
+            } else {
+                fno = ctx->next_frame;
+            }
+            ctx->next_frame = fno + 1;
+            if (fno < start) {
+                av_frame_unref(ctx->frame);
+                continue;
+            }
+            if (fno >= start + count) {
+                av_frame_unref(ctx->frame);
+                return written;
+            }
+            // Always convert via BGR24 + SWS_BICUBIC — the exact pipeline
+            // cv2's FFMPEG VideoCapture backend uses (and swscale's fastest
+            // unscaled YUV->packed path; RGB24 is ~5x slower in this build).
+            // Gray frames are then derived with cv2's own BGR->GRAY
+            // fixed-point weights; RGB output is a channel swap.
+            if (ctx->sws == nullptr || ctx->sws_fmt != target_fmt) {
+                if (ctx->sws) sws_freeContext(ctx->sws);
+                ctx->sws = sws_getContext(
+                    ctx->width, ctx->height, (AVPixelFormat)ctx->frame->format,
+                    ctx->width, ctx->height, AV_PIX_FMT_BGR24,
+                    SWS_BICUBIC, nullptr, nullptr, nullptr);
+                ctx->sws_fmt = target_fmt;
+            }
+            uint8_t* frame_out = out + (fno - start) * frame_bytes;
+            if (!ctx->bgr_scratch)
+                ctx->bgr_scratch = new uint8_t[(size_t)ctx->width * ctx->height * 3];
+            uint8_t* dst_data[4] = {ctx->bgr_scratch, nullptr, nullptr, nullptr};
+            int dst_linesize[4] = {ctx->width * 3, 0, 0, 0};
+            sws_scale(ctx->sws, ctx->frame->data, ctx->frame->linesize, 0, ctx->height,
+                      dst_data, dst_linesize);
+            if (gray)
+                bgr_to_gray_cv(ctx->bgr_scratch, frame_out, (int64_t)ctx->width * ctx->height);
+            else
+                bgr_to_rgb(ctx->bgr_scratch, frame_out, (int64_t)ctx->width * ctx->height);
+            av_frame_unref(ctx->frame);
+            written++;
+            if (written >= count) return written;
+        }
+        if (flushing) break;
+    }
+    return written;
+}
+
+void vd_close(void* handle) {
+    auto* ctx = static_cast<VideoCtx*>(handle);
+    if (!ctx) return;
+    if (ctx->sws) sws_freeContext(ctx->sws);
+    delete[] ctx->bgr_scratch;
+    if (ctx->frame) av_frame_free(&ctx->frame);
+    if (ctx->pkt) av_packet_free(&ctx->pkt);
+    if (ctx->codec) avcodec_free_context(&ctx->codec);
+    if (ctx->fmt) avformat_close_input(&ctx->fmt);
+    delete ctx;
+}
+
+}  // extern "C"

@@ -210,6 +210,16 @@ class Video:
         self.fn = fn
         cap.release()
 
+    def __getstate__(self):
+        # the native decoder handle (ctypes) is not picklable/deep-copyable;
+        # it is re-opened lazily after restore
+        d = self.__dict__.copy()
+        d.pop("_native_reader_cache", None)
+        return d
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
     # -- properties ------------------------------------------------------------
 
     @property
@@ -295,11 +305,60 @@ class Video:
 
     # -- decode ------------------------------------------------------------
 
+    @property
+    def _native_reader(self):
+        """Cached native decode pump (FFmpeg libav via ctypes), or None.
+
+        Used as the default batch-decode fast path when no per-frame cv2
+        processing (rotation / stabilization warps) is needed. Disable with
+        PYORC_TPU_NATIVE_DECODE=0. The native path produces the same pixels
+        as cv2's FFMPEG backend: swscale BGR24 + cv2's fixed-point gray
+        weights (see native/decoder.cpp).
+        """
+        if getattr(self, "_native_reader_cache", "unset") == "unset":
+            self._native_reader_cache = None
+            if os.environ.get("PYORC_TPU_NATIVE_DECODE", "1") != "0":
+                try:
+                    from ..io import native_decoder
+
+                    if native_decoder.available():
+                        self._native_reader_cache = native_decoder.NativeVideoReader(self.fn)
+                except Exception:
+                    self._native_reader_cache = None
+        return self._native_reader_cache
+
+    def _decode_frames_native(self, positions: np.ndarray, method: str) -> Optional[np.ndarray]:
+        """Batch-decode via the native pump; None if this request needs cv2."""
+        if method not in ("grayscale", "rgb", "bgr") or self.rotation is not None or self.ms is not None:
+            return None
+        reader = self._native_reader
+        if reader is None or len(positions) == 0:
+            return None
+        fnos = np.asarray(self.frame_number)[positions]
+        lo, hi = int(fnos.min()), int(fnos.max())
+        span = hi - lo + 1
+        # decode the contiguous span once (the codec must decode every frame
+        # anyway) and subsample; bail out if the span would blow up memory
+        ch = 1 if method == "grayscale" else 3
+        if span * reader.height * reader.width * ch > 2 << 30:
+            return None
+        batch = reader.read(lo, span, gray=(method == "grayscale"))
+        if batch.shape[0] < span:
+            return None  # unreadable tail: let the cv2 path raise precisely
+        out = batch[fnos - lo]
+        if method == "bgr":
+            out = out[..., ::-1]
+        return np.ascontiguousarray(out)
+
     def _decode_frames(self, positions: np.ndarray, method: str) -> np.ndarray:
         """Decode frames at the given positions (indices into frame_number)."""
         import cv2
 
         positions = np.atleast_1d(positions)
+        if self._eager_frames is None:
+            native = self._decode_frames_native(positions, method)
+            if native is not None:
+                return native
         if self._eager_frames is not None:
             imgs = []
             for p in positions:

@@ -1,0 +1,127 @@
+"""ctypes bindings for the native FFmpeg decode pump (native/decoder.cpp).
+
+Builds the shared library on first use if a compiler is available; falls back
+silently (callers check :func:`available`) to the cv2 decode path otherwise.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_LIB_LOCK = threading.Lock()
+_BUILD_TRIED = False
+
+
+def _native_dir() -> Path:
+    return Path(__file__).resolve().parent.parent.parent / "native"
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _BUILD_TRIED
+    with _LIB_LOCK:
+        if _LIB is not None:
+            return _LIB
+        so = _native_dir() / "libpyorc_decoder.so"
+        if not so.is_file() and not _BUILD_TRIED:
+            _BUILD_TRIED = True
+            try:
+                subprocess.run(
+                    ["make", "-C", str(_native_dir())],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                return None
+        if not so.is_file():
+            return None
+        try:
+            lib = ctypes.CDLL(str(so))
+        except OSError:
+            return None
+        lib.vd_open.restype = ctypes.c_void_p
+        lib.vd_open.argtypes = [ctypes.c_char_p]
+        lib.vd_meta.restype = ctypes.c_int
+        lib.vd_meta.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.vd_read.restype = ctypes.c_int64
+        lib.vd_read.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.vd_close.restype = None
+        lib.vd_close.argtypes = [ctypes.c_void_p]
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeVideoReader:
+    """Sequential/seekable frame reader over the native decoder."""
+
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native decoder unavailable")
+        self._lib = lib
+        self._handle = lib.vd_open(path.encode())
+        if not self._handle:
+            raise IOError(f"native decoder could not open {path}")
+        fps = ctypes.c_double()
+        n = ctypes.c_int64()
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        lib.vd_meta(self._handle, ctypes.byref(fps), ctypes.byref(n), ctypes.byref(w), ctypes.byref(h))
+        self.fps = fps.value
+        self.frame_count = int(n.value)
+        self.width = int(w.value)
+        self.height = int(h.value)
+        self._lock = threading.Lock()
+
+    def read(self, start: int, count: int, gray: bool = True) -> np.ndarray:
+        """Decode frames [start, start+count) -> uint8 [count, H, W(, 3)]."""
+        ch = 1 if gray else 3
+        out = np.empty((count, self.height, self.width * ch), dtype=np.uint8)
+        with self._lock:
+            got = self._lib.vd_read(
+                self._handle,
+                int(start),
+                int(count),
+                1 if gray else 0,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+        if got < count:
+            out = out[: max(int(got), 0)]
+        if gray:
+            return out
+        return out.reshape(-1, self.height, self.width, 3)
+
+    def close(self):
+        if getattr(self, "_handle", None):
+            self._lib.vd_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -82,6 +82,11 @@ def get_ms_gftt(
     if n_pts is None:
         n_pts = int(np.sqrt(img_key.size))
     prev_pts = _gftt_split(img_key, split, n_pts, mask=mask)
+    if prev_pts is None or len(prev_pts) < 3:
+        raise ValueError(
+            "No trackable features found outside the stabilization polygon. The polygon should "
+            "enclose only the water surface, leaving stable bank area visible for tracking."
+        )
 
     pbar = tqdm(range(n_frames - 1), position=0, leave=True, disable=not progress)
     pbar.set_description("Deriving stabilization parameters")
@@ -101,9 +106,13 @@ def get_ms_gftt(
             m_key = copy.deepcopy(m)
         img1 = img2
     ms.append(m)
-    # temporal box filter over the affine series
+    # temporal box filter over the affine series (window clamped for short videos)
     ma = np.array(ms)
-    for r in range(ma.shape[1]):
-        for c in range(ma.shape[2]):
-            ma[wdw:-wdw, r, c] = np.convolve(ma[:, r, c], np.ones(wdw * 2 + 1) / (wdw * 2 + 1), mode="valid")
+    wdw = min(wdw, (len(ms) - 1) // 2)
+    if wdw > 0:
+        for r in range(ma.shape[1]):
+            for c in range(ma.shape[2]):
+                ma[wdw:-wdw, r, c] = np.convolve(
+                    ma[:, r, c], np.ones(wdw * 2 + 1) / (wdw * 2 + 1), mode="valid"
+                )
     return list(ma)

@@ -1,0 +1,199 @@
+"""Multi-pass adaptive PIV with symmetric window deformation (WIDIM).
+
+An accuracy extension beyond the reference engine (the reference's ffpiv path
+is single-pass only, see reference ``pyorc/velocimetry/ffpiv.py:379-443``):
+coarse-to-fine interrogation where each pass warps the frame pair by the
+previous pass's displacement field before correlating. Central (symmetric)
+deformation — frame A sampled at ``x - d/2`` and frame B at ``x + d/2`` —
+cancels the first-order truncation bias of single-pass FFT PIV (the 0.1-0.2 px
+pull toward zero on uniform shifts) and keeps valid correlation under shear.
+
+TPU-first construction: every pass is static-shaped; the dense displacement
+field is a bilinear image-sized gather (``map_coordinates`` lowers to XLA
+gathers), pair deformation is one more gather, and the correlation itself
+reuses the batched matmul-DFT/FFT pipeline from :mod:`pyorc_tpu.ops.piv`.
+The whole cascade jits into a single XLA program; there is no data-dependent
+control flow. Outlier handling between passes is the Westerweel–Scarano
+normalized median test, computed with shifted-stack medians (no sorting
+networks over dynamic shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import piv as piv_ops
+from . import windows as win
+
+__all__ = ["piv_multipass", "multipass_window_sizes"]
+
+
+def multipass_window_sizes(window_size: Tuple[int, int], passes: int) -> list:
+    """Coarse-to-fine window-size schedule ending at ``window_size``.
+
+    Each earlier pass doubles the window (64 -> 32 -> 16 for passes=3,
+    window_size=16), rounded to even.
+    """
+    ws = []
+    for k in range(passes):
+        f = 2 ** (passes - 1 - k)
+        ws.append(tuple(win.round_to_even((window_size[0] * f, window_size[1] * f))))
+    return ws
+
+
+def _neighbor_stack(f: jnp.ndarray) -> jnp.ndarray:
+    """Stack the 8 edge-padded neighbours of each grid cell: [..., 8, R, C]."""
+    fp = jnp.pad(f, [(0, 0)] * (f.ndim - 2) + [(1, 1), (1, 1)], mode="edge")
+    r, c = f.shape[-2], f.shape[-1]
+    stacks = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            stacks.append(fp[..., 1 + dy : 1 + dy + r, 1 + dx : 1 + dx + c])
+    return jnp.stack(stacks, axis=-3)
+
+
+def _median_validate(u: jnp.ndarray, v: jnp.ndarray, eps: float = 0.1, thresh: float = 2.0):
+    """Normalized median test (Westerweel & Scarano 2005); outliers and NaNs
+    are replaced by the neighbourhood median so the predictor field stays
+    smooth for the next deformation pass."""
+
+    def fix(f):
+        nbrs = _neighbor_stack(f)
+        med = jnp.nanmedian(nbrs, axis=-3)
+        resid = jnp.nanmedian(jnp.abs(nbrs - med[..., None, :, :]), axis=-3)
+        r = jnp.abs(f - med) / (resid + eps)
+        bad = (r > thresh) | ~jnp.isfinite(f)
+        out = jnp.where(bad, med, f)
+        return jnp.nan_to_num(out)
+
+    return fix(u), fix(v)
+
+
+def _grid_to_dense(field: jnp.ndarray, rows: np.ndarray, cols: np.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Bilinear interpolation of a window-grid field onto the pixel grid.
+
+    field: [..., n_rows, n_cols] at window centres (rows, cols); edge cells
+    extend to the frame border (clamped index space).
+    """
+    step_r = float(rows[1] - rows[0]) if len(rows) > 1 else 1.0
+    step_c = float(cols[1] - cols[0]) if len(cols) > 1 else 1.0
+    rr = (jnp.arange(h, dtype=jnp.float32) - float(rows[0])) / step_r
+    cc = (jnp.arange(w, dtype=jnp.float32) - float(cols[0])) / step_c
+    rr = jnp.clip(rr, 0.0, len(rows) - 1.0)
+    cc = jnp.clip(cc, 0.0, len(cols) - 1.0)
+    grid_r, grid_c = jnp.meshgrid(rr, cc, indexing="ij")
+
+    def interp_one(f2d):
+        return jax.scipy.ndimage.map_coordinates(f2d, [grid_r, grid_c], order=1, mode="nearest")
+
+    lead = field.shape[:-2]
+    flat = field.reshape((-1,) + field.shape[-2:])
+    dense = jax.vmap(interp_one)(flat)
+    return dense.reshape(lead + (h, w))
+
+
+def _deform_pair(img_a: jnp.ndarray, img_b: jnp.ndarray, dr: jnp.ndarray, dc: jnp.ndarray):
+    """Symmetric deformation: A sampled at x - d/2, B at x + d/2 (bilinear)."""
+    h, w = img_a.shape[-2], img_a.shape[-1]
+    base_r, base_c = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
+    )
+
+    def sample(img, rows, cols):
+        return jax.scipy.ndimage.map_coordinates(img, [rows, cols], order=1, mode="nearest")
+
+    a_def = sample(img_a, base_r - dr / 2, base_c - dc / 2)
+    b_def = sample(img_b, base_r + dr / 2, base_c + dc / 2)
+    return a_def, b_def
+
+
+def _grid_to_grid(field, src_rows, src_cols, dst_rows, dst_cols):
+    """Resample a window-grid field onto a (finer) window grid, bilinear.
+
+    Uses the SAME interpolant as :func:`_grid_to_dense` evaluated at the
+    destination window centres, so the predictor added back to the residual
+    is exactly the field the pair was deformed with at those points.
+    """
+    step_r = float(src_rows[1] - src_rows[0]) if len(src_rows) > 1 else 1.0
+    step_c = float(src_cols[1] - src_cols[0]) if len(src_cols) > 1 else 1.0
+    rr = jnp.clip((jnp.asarray(dst_rows, jnp.float32) - float(src_rows[0])) / step_r, 0.0, len(src_rows) - 1.0)
+    cc = jnp.clip((jnp.asarray(dst_cols, jnp.float32) - float(src_cols[0])) / step_c, 0.0, len(src_cols) - 1.0)
+    grid_r, grid_c = jnp.meshgrid(rr, cc, indexing="ij")
+
+    def interp_one(f2d):
+        return jax.scipy.ndimage.map_coordinates(f2d, [grid_r, grid_c], order=1, mode="nearest")
+
+    lead = field.shape[:-2]
+    flat = field.reshape((-1,) + field.shape[-2:])
+    out = jax.vmap(interp_one)(flat)
+    return out.reshape(lead + (len(dst_rows), len(dst_cols)))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+def _piv_multipass_impl(imgs, dim_size, schedule, overlaps, n_rows, n_cols, signal_threshold, corr_method):
+    h, w = dim_size
+    frames = imgs.astype(jnp.float32)
+    a_stack, b_stack = frames[:-1], frames[1:]
+    n_pairs = a_stack.shape[0]
+
+    u = v = corr = None
+    rows_prev = cols_prev = None
+    for k, (ws, ov) in enumerate(zip(schedule, overlaps)):
+        row0, col0 = win.get_window_starts(dim_size, ws, ov)
+        cols_k, rows_k = win.get_rect_coordinates(dim_size, ws, ws, ov)
+        nr_k, nc_k = len(rows_k), len(cols_k)
+        if k == 0:
+            a_k, b_k = a_stack, b_stack
+            u_pred = jnp.zeros((n_pairs, nr_k, nc_k), jnp.float32)
+            v_pred = jnp.zeros_like(u_pred)
+        else:
+            # dense per-pixel predictor (dr = -v rows-down, dc = u cols-right)
+            dr_dense = _grid_to_dense(-v, rows_prev, cols_prev, h, w)
+            dc_dense = _grid_to_dense(u, rows_prev, cols_prev, h, w)
+            a_k, b_k = jax.vmap(_deform_pair)(a_stack, b_stack, dr_dense, dc_dense)
+            u_pred = _grid_to_grid(u, rows_prev, cols_prev, rows_k, cols_k)
+            v_pred = _grid_to_grid(v, rows_prev, cols_prev, rows_k, cols_k)
+        wa = piv_ops.extract_windows(a_k, row0, col0, ws[0], ws[1])
+        wb = piv_ops.extract_windows(b_k, row0, col0, ws[0], ws[1])
+        corr = piv_ops._normalized_corr_planes(wa, wb, corr_method)
+        if signal_threshold is not None:
+            sig = jnp.minimum(jnp.mean(wa > 0, axis=(-2, -1)), jnp.mean(wb > 0, axis=(-2, -1)))
+            corr = jnp.where(sig[..., None, None] >= signal_threshold, corr, jnp.nan)
+        du, dv = piv_ops.u_v_displacement(corr, nr_k, nc_k)
+        u = u_pred + du
+        v = v_pred + dv
+        if k < len(schedule) - 1:
+            # keep the predictor smooth for the next deformation
+            u, v = _median_validate(u, v)
+        rows_prev, cols_prev = rows_k, cols_k
+
+    corr_max, s2n = piv_ops.corr_stats(corr)
+    return u, v, corr_max.reshape(-1, n_rows, n_cols), s2n.reshape(-1, n_rows, n_cols)
+
+
+def piv_multipass(
+    imgs,
+    dim_size: Tuple[int, int],
+    window_size: Tuple[int, int],
+    overlap: Tuple[int, int],
+    n_rows: int,
+    n_cols: int,
+    passes: int = 2,
+    signal_threshold: Optional[float] = None,
+    corr_method: str = "auto",
+):
+    """Multi-pass PIV: (u, v, corr_max, s2n), each [T-1, n_rows, n_cols]."""
+    method = piv_ops.default_corr_method() if corr_method == "auto" else corr_method
+    schedule = tuple(multipass_window_sizes(tuple(win._as2(window_size)), passes))
+    overlaps = tuple(tuple(s // 2 for s in ws) for ws in schedule[:-1]) + (tuple(win._as2(overlap)),)
+    return _piv_multipass_impl(
+        jnp.asarray(imgs), tuple(dim_size), schedule, overlaps, n_rows, n_cols,
+        None if signal_threshold is None else float(signal_threshold), method,
+    )

@@ -85,8 +85,16 @@ def get_piv(
     s2n_min: float = 3.0,
     count_min: float = 0.2,
     signal_threshold: Optional[float] = None,
+    passes: int = 1,
 ) -> ndx.Dataset:
-    """Time-resolved or ensemble PIV over the frame stack -> Dataset(v_x, v_y, corr, s2n)."""
+    """Time-resolved or ensemble PIV over the frame stack -> Dataset(v_x, v_y, corr, s2n).
+
+    ``passes > 1`` enables multi-pass adaptive PIV with symmetric window
+    deformation (:mod:`pyorc_tpu.ops.multipass`) — an accuracy extension
+    beyond the reference's single-pass engine; incompatible with
+    ``ensemble_corr`` (deformation is per-pair, averaging planes across
+    differently-deformed pairs is ill-defined).
+    """
     import jax
 
     dim_size = tuple(frames.shape[-2:])
@@ -100,29 +108,31 @@ def get_piv(
     data = frames.data
 
     if ensemble_corr:
+        if passes > 1:
+            raise ValueError("ensemble_corr=True cannot be combined with passes > 1.")
         return _piv_ensemble(
             data, time_all, y, x, dt, res_y, res_x, n_rows, n_cols, dim_size, sas, ov,
             chunksize, corr_min, s2n_min, count_min, signal_threshold, frames.attrs,
         )
     return _piv_timestep(
         data, time_all, y, x, dt, res_y, res_x, n_rows, n_cols, dim_size, sas, ov,
-        chunksize, signal_threshold, frames.attrs,
+        chunksize, signal_threshold, frames.attrs, passes,
     )
 
 
 def _piv_timestep(
     data, time_all, y, x, dt, res_y, res_x, n_rows, n_cols, dim_size, sas, ov,
-    chunksize, signal_threshold, attrs,
+    chunksize, signal_threshold, attrs, passes=1,
 ):
     import jax
 
     from tqdm import tqdm
 
-    from ..ops import piv_pallas
+    from ..ops import multipass, piv_pallas
 
     # the fused Pallas kernel is the fast path on TPU backends; the XLA
-    # pipeline covers CPU and non-strided window grids
-    use_fused = jax.default_backend() not in ("cpu",)
+    # pipeline covers CPU, non-strided window grids, and multi-pass runs
+    use_fused = passes == 1 and jax.default_backend() not in ("cpu",)
     dt_vals = np.asarray(dt.values if hasattr(dt, "values") else dt, dtype=np.float64)
     us, vs, cms, s2ns = [], [], [], []
     pbar = tqdm(total=data.shape[0] - 1, desc="PIV (per frame pair)", position=0, leave=True)
@@ -130,6 +140,11 @@ def _piv_timestep(
         if use_fused:
             u, v, cmax, s2n = piv_pallas.piv_pairs_fused(
                 jax.device_put(np.asarray(chunk)), dim_size, sas, ov, n_rows, n_cols, signal_threshold
+            )
+        elif passes > 1:
+            u, v, cmax, s2n = multipass.piv_multipass(
+                jax.device_put(np.asarray(chunk)), dim_size, sas, ov, n_rows, n_cols,
+                passes=passes, signal_threshold=signal_threshold,
             )
         else:
             u, v, cmax, s2n = piv_ops.piv_pairs(

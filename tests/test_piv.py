@@ -206,3 +206,69 @@ def test_fused_pallas_matches_xla(rng):
     assert np.allclose(v1, v2, atol=1e-4, equal_nan=True)
     assert np.allclose(c1, c2, atol=1e-5)
     assert np.allclose(s1, s2, atol=1e-3)
+
+
+def test_multipass_removes_shift_bias(rng):
+    """2-pass deformation PIV recovers uniform shifts to <0.05 px median error
+    (single pass has an inherent 0.1-0.2 px bias, see test_shift_recovery)."""
+    from pyorc_tpu.ops import multipass, windows as win_mod
+
+    img_a = make_particle_image(rng)
+    h, w = img_a.shape
+    n_rows, n_cols = win_mod.get_field_shape((h, w), (32, 32), (16, 16))
+    for dx, dy in [(2.3, -1.7), (0.25, 0.6)]:
+        imgs = np.stack([img_a, shift_image(img_a, dx, dy)])
+        u, v, cmax, s2n = multipass.piv_multipass(
+            imgs, (h, w), (32, 32), (16, 16), n_rows, n_cols, passes=2
+        )
+        sl = np.s_[0, 2:-2, 2:-2]
+        assert abs(np.nanmedian(np.asarray(u)[sl]) - dx) < 0.05
+        assert abs(np.nanmedian(np.asarray(v)[sl]) - (-dy)) < 0.05
+        assert np.nanmedian(np.asarray(cmax)[0]) > 0.5
+        assert np.nanmedian(np.asarray(s2n)[0]) > 3
+
+
+def test_multipass_shear_beats_single_pass(rng):
+    """Under shear, window deformation must cut the RMS error vs single pass."""
+    from scipy.ndimage import map_coordinates as sp_map
+
+    from pyorc_tpu.ops import multipass, windows as win_mod
+
+    img_a = make_particle_image(rng)
+    h, w = img_a.shape
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    a = 0.02  # du/dy: 0..~5 px across the frame
+    img_b = sp_map(img_a, [yy, xx - a * yy], order=3, mode="nearest")
+    imgs = np.stack([img_a, img_b])
+    n_rows, n_cols = win_mod.get_field_shape((h, w), (32, 32), (16, 16))
+    u1, *_ = piv.piv_pairs(imgs, (h, w), (32, 32), (16, 16), n_rows, n_cols)
+    u2, *_ = multipass.piv_multipass(imgs, (h, w), (32, 32), (16, 16), n_rows, n_cols, passes=2)
+    cols, rows = windows.get_rect_coordinates((h, w), (32, 32), (32, 32), (16, 16))
+    truth = a * rows[:, None] * np.ones((1, n_cols))
+    interior = np.s_[2:-2, 2:-2]
+    rms1 = np.sqrt(np.nanmean((np.asarray(u1)[0] - truth)[interior] ** 2))
+    rms2 = np.sqrt(np.nanmean((np.asarray(u2)[0] - truth)[interior] ** 2))
+    assert rms2 < rms1 / 2
+    assert rms2 < 0.1
+
+
+def test_multipass_schedule():
+    from pyorc_tpu.ops import multipass
+
+    assert multipass.multipass_window_sizes((16, 16), 3) == [(64, 64), (32, 32), (16, 16)]
+    assert multipass.multipass_window_sizes((32, 32), 1) == [(32, 32)]
+
+
+def test_median_validate_replaces_outliers():
+    import jax.numpy as jnp
+
+    from pyorc_tpu.ops import multipass
+
+    u = np.full((1, 8, 8), 2.0, dtype=np.float32)
+    v = np.full((1, 8, 8), -1.0, dtype=np.float32)
+    u[0, 3, 4] = 25.0  # spurious vector
+    u[0, 5, 5] = np.nan
+    uf, vf = multipass._median_validate(jnp.asarray(u), jnp.asarray(v))
+    assert abs(float(uf[0, 3, 4]) - 2.0) < 1e-5
+    assert abs(float(uf[0, 5, 5]) - 2.0) < 1e-5
+    assert np.allclose(np.asarray(vf), -1.0)

@@ -144,3 +144,23 @@ def test_e2e_piv_ensemble(frames):
     assert piv.sizes["time"] == 1
     v = np.hypot(piv["v_x"].values, piv["v_y"].values)
     assert np.isfinite(v).any()
+
+
+def test_e2e_piv_multipass(frames):
+    """passes=2 runs the deformation cascade through the accessor and stays
+    consistent with the single-pass field (same grid, similar magnitudes)."""
+    import pytest
+
+    f_norm = frames.frames.normalize(samples=2)
+    f_proj = f_norm.frames.project()
+    piv1 = f_proj.frames.get_piv()
+    piv2 = f_proj.frames.get_piv(passes=2)
+    assert piv2.sizes == piv1.sizes
+    v1 = np.hypot(piv1["v_x"].values, piv1["v_y"].values)
+    v2 = np.hypot(piv2["v_x"].values, piv2["v_y"].values)
+    assert np.isfinite(v2).mean() > 0.9
+    # same flow, refined: medians within 50%
+    assert abs(np.nanmedian(v2) - np.nanmedian(v1)) < 0.5 * max(np.nanmedian(v1), 0.1)
+    # ensemble + multipass is rejected
+    with pytest.raises(ValueError, match="ensemble_corr"):
+        f_proj.frames.get_piv(ensemble_corr=True, passes=2)

@@ -248,6 +248,94 @@ class Frames(ORCBase):
         ds.velocimetry.set_encoding()
         return ds
 
+    def get_stiv(
+        self,
+        centers,
+        angle: float,
+        length: float,
+        n_samples: int = None,
+        window: int = 0,
+        refine: int = 2,
+        min_coherence: float = None,
+    ) -> ndx.Dataset:
+        """Space-Time Image Velocimetry along flow-aligned search lines.
+
+        A capability the reference lists as wished-for but does not implement
+        (reference README.md:22); see :mod:`pyorc_tpu.ops.stiv`. Frames must
+        be projected. For reliable streak angles pick ``n_samples`` so the
+        expected displacement per frame stays under ~1.5 sample steps.
+
+        Parameters
+        ----------
+        centers : [n_lines, 2] array
+            line centre points (x, y) in the projected local coordinates
+            (metres, same axes as the frames' x/y coords).
+        angle : float
+            flow direction in radians from +x toward +y (math convention).
+        length : float
+            search-line length in metres.
+        n_samples : int, optional
+            samples per line; default one per resolution step.
+        window : int
+            if > 0, returns a velocity profile along each line (dims
+            ``(line, points)``) averaged over a box of this many samples.
+        refine : int
+            shear-refinement iterations for steep streaks.
+        min_coherence : float, optional
+            velocities whose coherence falls below this are set to NaN —
+            where texture is weak or motion crosses the line, the streak
+            angle (and hence v) is meaningless while coherence stays low.
+
+        Returns
+        -------
+        ndx.Dataset with ``v`` (m/s, signed along the flow direction) and
+        ``coherence`` (structure-tensor anisotropy in [0, 1], the STIV
+        quality metric).
+        """
+        from ..ops import stiv as stiv_ops
+
+        assert self.is_projected, "STIV requires projected frames (run frames.project() first)"
+        camera_config = self.camera_config
+        res = float(camera_config.resolution)
+        x = self._obj["x"].values
+        y = self._obj["y"].values
+        centers = np.atleast_2d(np.asarray(centers, dtype=np.float64))
+        cols_c = (centers[:, 0] - x[0]) / (x[1] - x[0])
+        rows_c = (centers[:, 1] - y[0]) / (y[1] - y[0])
+        if n_samples is None:
+            n_samples = max(int(round(length / res)) + 1, 8)
+        # y rows run opposite to +y: flip the angle's y component
+        px_angle = np.arctan2(-np.sin(angle) * np.sign(y[0] - y[1]), np.cos(angle))
+        rows, cols = stiv_ops.stiv_lines(
+            np.stack([cols_c, rows_c], axis=1), px_angle, length / res, int(n_samples)
+        )
+        data = np.asarray(self._obj.values, dtype=np.float32)
+        sti = stiv_ops.build_sti(data, rows, cols)
+        step_px = (length / res) / (n_samples - 1)
+        dt = float(np.mean(np.diff(self._obj["time"].values)))
+        v, coh = stiv_ops.sti_velocity(sti, step_px, dt, int(window), int(refine))
+        v = np.asarray(v) * res  # px/s -> m/s
+        coh = np.asarray(coh)
+        if min_coherence is not None:
+            v = np.where(coh >= min_coherence, v, np.nan)
+        dims = ("line", "points") if window and window > 0 else ("line",)
+        coords = {"line": np.arange(centers.shape[0])}
+        if len(dims) == 2:
+            coords["points"] = np.arange(v.shape[1])
+        ds = ndx.Dataset(
+            {
+                "v": (dims, v.astype(np.float32), {"units": "m s-1", "long_name": "STIV streamwise velocity"}),
+                "coherence": (dims, coh.astype(np.float32), {"units": "", "long_name": "STIV coherence"}),
+            },
+            coords={
+                **coords,
+                "xc": (("line",), centers[:, 0]),
+                "yc": (("line",), centers[:, 1]),
+            },
+            attrs=dict(self._obj.attrs),
+        )
+        return ds
+
     # -- output ------------------------------------------------------------
 
     def to_video(self, fn, video_format=None, fps=None, progress=True):

@@ -166,6 +166,7 @@ def _band_results(band_a, band_b, cy, sy, cxt, sxt, wy, wx, step_x, c0, cnt):
 
 
 def _kernel(
+    b0_ref,  # SMEM scalar [1]: first (global) band of this strip
     frames_hbm,  # ANY/HBM ref [T, H, W]
     cy_ref,
     sy_ref,
@@ -184,17 +185,20 @@ def _kernel(
     wx: int,
     step_y: int,
     step_x: int,
-    n_rows: int,
+    n_rows: int,  # bands processed by THIS launch (strip height)
     n_cols: int,
 ):
     pair = pl.program_id(0)
+    band0 = b0_ref[0]
     cy = cy_ref[:]
     sy = sy_ref[:]
     cxt = cx_ref[:].T
     sxt = sx_ref[:].T
 
     def get_dma(slot, band_idx):
-        r0 = band_idx * step_y
+        # (band0 + idx) * step_y keeps the row offset provably divisible by
+        # the sublane tiling (step_y is a multiple of 8 in the fast path)
+        r0 = (band0 + band_idx) * step_y
         return (
             pltpu.make_async_copy(frames_hbm.at[pair, pl.ds(r0, wy), :], band_a.at[slot], sem_a.at[slot]),
             pltpu.make_async_copy(frames_hbm.at[pair + 1, pl.ds(r0, wy), :], band_b.at[slot], sem_b.at[slot]),
@@ -256,13 +260,31 @@ def piv_pairs_fused(
     step_x = piv_ops._strided_axis_starts(np.asarray(col0), wx)
     if step_y is None or step_x is None or signal_threshold is not None:
         return piv_ops.piv_pairs(imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold)
-    return _piv_pairs_fused_jit(
-        jnp.asarray(imgs), dim_size, (wy, wx), (step_y, step_x), n_rows, n_cols, bool(interpret)
+    # strip planning: the per-pair output blocks live in VMEM for the whole
+    # program ([1, nb, n_cols, 1] is tile-padded to nb * pad8(n_cols) * 128
+    # floats PER OUTPUT), so tall/wide configurations (e.g. 4K frames) must
+    # split the band range over several launches to stay under the 16MB
+    # scoped-VMEM limit. 1080p-class configs keep a single launch.
+    band_scratch = 4 * wy * imgs.shape[-1] * 4
+    per_band = (-(-n_cols // 8) * 8) * 128 * 4 * 4
+    nb_max = max(int(((14 << 20) - band_scratch - (3 << 20)) // per_band), 4)
+    return _piv_pairs_fused_strips(
+        jnp.asarray(imgs), (wy, wx), (step_y, step_x), n_rows, n_cols, nb_max, bool(interpret)
     )
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
-def _piv_pairs_fused_jit(imgs, dim_size, sas, steps, n_rows, n_cols, interpret):
+def _piv_pairs_fused_strips(imgs, sas, steps, n_rows, n_cols, nb_max, interpret):
+    if n_rows <= nb_max:
+        return _piv_pairs_fused_jit(imgs, sas, steps, 0, n_rows, n_cols, interpret)
+    outs = []
+    for b0 in range(0, n_rows, nb_max):
+        nb = min(nb_max, n_rows - b0)
+        outs.append(_piv_pairs_fused_jit(imgs, sas, steps, b0, nb, n_cols, interpret))
+    return tuple(jnp.concatenate([o[k] for o in outs], axis=1) for k in range(4))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 4, 5, 6))
+def _piv_pairs_fused_jit(imgs, sas, steps, band0, nb, n_cols, interpret):
     wy, wx = sas
     step_y, step_x = steps
     t = imgs.shape[0]
@@ -271,17 +293,19 @@ def _piv_pairs_fused_jit(imgs, dim_size, sas, steps, n_rows, n_cols, interpret):
     cy, sy = (jnp.asarray(m) for m in _dft_mats(wy))
     cx, sx = (jnp.asarray(m) for m in _dft_mats(wx))
     frames = imgs.astype(jnp.float32)
+    b0_arr = jnp.asarray(band0, dtype=jnp.int32).reshape(1)
 
     kernel = functools.partial(
-        _kernel, wy=wy, wx=wx, step_y=step_y, step_x=step_x, n_rows=n_rows, n_cols=n_cols
+        _kernel, wy=wy, wx=wx, step_y=step_y, step_x=step_x, n_rows=nb, n_cols=n_cols
     )
-    out_shape = [jax.ShapeDtypeStruct((n_pairs, n_rows, n_cols, 1), jnp.float32) for _ in range(4)]
-    out_spec = pl.BlockSpec((1, n_rows, n_cols, 1), lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((n_pairs, nb, n_cols, 1), jnp.float32) for _ in range(4)]
+    out_spec = pl.BlockSpec((1, nb, n_cols, 1), lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM)
     mat_spec = lambda n: pl.BlockSpec((n, n), lambda p: (0, 0), memory_space=pltpu.VMEM)
     u, v, cmax, s2n = pl.pallas_call(
         kernel,
         grid=(n_pairs,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # strip band offset (scalar)
             pl.BlockSpec(memory_space=pltpu.ANY),  # frames stay in HBM; DMA'd per band
             mat_spec(wy),
             mat_spec(wy),
@@ -297,5 +321,5 @@ def _piv_pairs_fused_jit(imgs, dim_size, sas, steps, n_rows, n_cols, interpret):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(frames, cy, sy, cx, sx)
+    )(b0_arr, frames, cy, sy, cx, sx)
     return u[..., 0], v[..., 0], cmax[..., 0], s2n[..., 0]

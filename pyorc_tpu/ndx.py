@@ -419,6 +419,11 @@ class DataArray(_AccessorMixin):
             return None
         if isinstance(dim, str):
             dim = (dim,)
+        for d in dim:
+            if d not in self._dims:
+                raise ValueError(
+                    f"Dimension {d!r} not found; this array has dimensions {tuple(self._dims)}"
+                )
         return tuple(self._dims.index(d) for d in dim)
 
     def _reduce(self, func_nan, func, dim=None, skipna=None, keep_attrs=True, **kw) -> "DataArray":
@@ -1250,6 +1255,14 @@ class Dataset(_AccessorMixin):
         return self._map(lambda v: v.count(dim=dim if (dim is None or dim in v.dims) else None))
 
     def _reduce(self, op, dim, skipna, **kw) -> "Dataset":
+        # unknown dims fail loudly (variables merely lacking the dim are
+        # skipped, matching xarray); a silent no-op hides typos
+        for d in (dim,) if isinstance(dim, str) else (dim or ()):
+            if d is not Ellipsis and d not in self.sizes:
+                raise ValueError(
+                    f"Dimension {d!r} not found; this dataset has dimensions {tuple(self.sizes)}"
+                )
+
         def f(v: DataArray) -> DataArray:
             if dim is None or (isinstance(dim, str) and dim in v.dims) or (
                 isinstance(dim, (list, tuple)) and all(d in v.dims for d in dim)

@@ -220,3 +220,23 @@ def test_accessor_registration():
     assert np.allclose(da.testacc.double().values, da.values * 2)
     # cached
     assert da.testacc is da.testacc
+
+
+def test_reduce_unknown_dim_raises():
+    import pytest
+
+    from pyorc_tpu import ndx
+
+    da = ndx.DataArray(np.zeros((2, 3)), dims=("t", "x"), coords={"t": [0, 1], "x": [0, 1, 2]})
+    ds = ndx.Dataset({"a": (("t", "x"), np.ones((2, 3)))}, coords={"t": [0, 1], "x": [0, 1, 2]})
+    with pytest.raises(ValueError, match="bogus"):
+        da.mean(dim="bogus")
+    with pytest.raises(ValueError, match="bogus"):
+        ds.mean(dim="bogus")
+    # variables merely lacking the dim are skipped, not an error
+    ds2 = ndx.Dataset(
+        {"a": (("t", "x"), np.ones((2, 3))), "b": (("x",), np.ones(3))},
+        coords={"t": [0, 1], "x": [0, 1, 2]},
+    )
+    out = ds2.mean(dim="t")
+    assert out["a"].dims == ("x",) and out["b"].dims == ("x",)

@@ -277,29 +277,39 @@ class VelocityFlowProcessor:
         self.logger = logger
         self.logger.info("Velocity Flow Processor initialized")
 
+    def _timed(self, name, fn, *args, **kwargs):
+        """Run one stage with per-stage wall-clock logging (SURVEY §5: the
+        reference has only tqdm bars; the TPU build logs stage timings)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = fn(*args, **kwargs)
+        self.logger.info(f"Stage '{name}' completed in {_time.perf_counter() - t0:.2f} s")
+        return out
+
     def process(self):
         """Run all stages in the fixed order. Reference :447-496."""
         self.logger.info("Starting velocimetry processing pipeline")
-        self.video(**self.recipe["video"])
+        self._timed("video", self.video, **self.recipe["video"])
         if self.cross_section_wl is not None:
-            self.water_level(**self.recipe.get("water_level", {}))
-        self.frames(**self.recipe["frames"])
-        self.velocimetry(**self.recipe["velocimetry"])
+            self._timed("water_level", self.water_level, **self.recipe.get("water_level", {}))
+        self._timed("frames", self.frames, **self.recipe["frames"])
+        self._timed("velocimetry", self.velocimetry, **self.recipe["velocimetry"])
         if "mask" in self.recipe:
             if self.recipe.get("velocimetry", {}).get("get_piv", {}).get("ensemble_corr", False):
                 self.logger.warning(
                     "Masks on an ensemble-correlation velocimetry: time-dependent masks have no effect."
                 )
-            self.mask(**self.recipe["mask"])
+            self._timed("mask", self.mask, **self.recipe["mask"])
         else:
             self.velocimetry_mask_obj = self.velocimetry_obj
         if "transect" in self.recipe:
             if self.cross_section_fn is not None:
                 self.recipe["transect"].setdefault("transect_1", {})
                 self.recipe["transect"]["transect_1"]["shapefile"] = self.cross_section_fn
-            self.transect(**self.recipe["transect"])
+            self._timed("transect", self.transect, **self.recipe["transect"])
         if "plot" in self.recipe:
-            self.plot(**self.recipe["plot"])
+            self._timed("plot", self.plot, **self.recipe["plot"])
         self.logger.info("Velocimetry processing pipeline completed :-)")
 
     def video(self, **kwargs):

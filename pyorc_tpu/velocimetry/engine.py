@@ -47,6 +47,32 @@ def _chunk_plan(n_frames, dim_size, window_size, overlap, search_area_size, chun
     return int(chunksize)
 
 
+def _run_chunk_oom_backoff(fn, chunk, min_frames=3):
+    """Run fn(chunk_frames) with halving splits on device OOM.
+
+    Mirrors the reference's shrinking-chunk retry (reference ffpiv.py:13-21)
+    at the device level: a RESOURCE_EXHAUSTED from XLA retries the chunk as
+    two halves sharing a one-frame overlap, recursively, and re-concatenates
+    the per-pair outputs.
+    """
+    try:
+        return fn(chunk)
+    except Exception as e:  # jaxlib raises XlaRuntimeError; match on message
+        msg = str(e)
+        if "RESOURCE_EXHAUSTED" not in msg and "Out of memory" not in msg.lower():
+            raise
+        if chunk.shape[0] <= min_frames:
+            raise
+        warnings.warn(
+            f"Device OOM on a {chunk.shape[0]}-frame chunk; retrying as two halves.",
+            stacklevel=2,
+        )
+        mid = chunk.shape[0] // 2
+        left = _run_chunk_oom_backoff(fn, chunk[: mid + 1], min_frames)
+        right = _run_chunk_oom_backoff(fn, chunk[mid:], min_frames)
+        return tuple(np.concatenate([np.asarray(a), np.asarray(b)], axis=0) for a, b in zip(left, right))
+
+
 def _iter_chunks(data, chunksize):
     """Yield (start_pair_index, frames ndarray) with one-frame overlap between chunks."""
     from ..api.video import LazyFrames
@@ -136,20 +162,18 @@ def _piv_timestep(
     dt_vals = np.asarray(dt.values if hasattr(dt, "values") else dt, dtype=np.float64)
     us, vs, cms, s2ns = [], [], [], []
     pbar = tqdm(total=data.shape[0] - 1, desc="PIV (per frame pair)", position=0, leave=True)
-    for start, chunk in _iter_chunks(data, chunksize):
+    def run_one(frames_np):
+        dev = jax.device_put(np.asarray(frames_np))
         if use_fused:
-            u, v, cmax, s2n = piv_pallas.piv_pairs_fused(
-                jax.device_put(np.asarray(chunk)), dim_size, sas, ov, n_rows, n_cols, signal_threshold
+            return piv_pallas.piv_pairs_fused(dev, dim_size, sas, ov, n_rows, n_cols, signal_threshold)
+        if passes > 1:
+            return multipass.piv_multipass(
+                dev, dim_size, sas, ov, n_rows, n_cols, passes=passes, signal_threshold=signal_threshold
             )
-        elif passes > 1:
-            u, v, cmax, s2n = multipass.piv_multipass(
-                jax.device_put(np.asarray(chunk)), dim_size, sas, ov, n_rows, n_cols,
-                passes=passes, signal_threshold=signal_threshold,
-            )
-        else:
-            u, v, cmax, s2n = piv_ops.piv_pairs(
-                jax.device_put(np.asarray(chunk)), dim_size, sas, ov, n_rows, n_cols, signal_threshold
-            )
+        return piv_ops.piv_pairs(dev, dim_size, sas, ov, n_rows, n_cols, signal_threshold)
+
+    for start, chunk in _iter_chunks(data, chunksize):
+        u, v, cmax, s2n = _run_chunk_oom_backoff(run_one, np.asarray(chunk))
         us.append(np.asarray(u))
         vs.append(np.asarray(v))
         cms.append(np.asarray(cmax))

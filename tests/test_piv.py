@@ -272,3 +272,43 @@ def test_median_validate_replaces_outliers():
     assert abs(float(uf[0, 3, 4]) - 2.0) < 1e-5
     assert abs(float(uf[0, 5, 5]) - 2.0) < 1e-5
     assert np.allclose(np.asarray(vf), -1.0)
+
+
+def test_oom_backoff_splits_and_reassembles(rng):
+    """A simulated device OOM retries as halves and reassembles identically."""
+    from pyorc_tpu.velocimetry import engine
+
+    img = make_particle_image(rng, 96, 96)
+    frames = np.stack([shift_image(img, t, 0) for t in range(6)]).astype(np.float32)
+    n_rows, n_cols = windows.get_field_shape((96, 96), (32, 32), (16, 16))
+
+    def real(chunk):
+        return tuple(
+            np.asarray(x) for x in piv.piv_pairs(chunk, (96, 96), (32, 32), (16, 16), n_rows, n_cols)
+        )
+
+    calls = {"n": 0}
+
+    def flaky(chunk):
+        calls["n"] += 1
+        if calls["n"] == 1 and chunk.shape[0] > 3:
+            raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory allocating ...")
+        return real(chunk)
+
+    expected = real(frames)
+    out = engine._run_chunk_oom_backoff(flaky, frames)
+    assert calls["n"] == 3  # failed full, then two halves
+    for a, b in zip(out, expected):
+        assert np.allclose(a, b, equal_nan=True)
+
+
+def test_oom_backoff_reraises_non_oom(rng):
+    from pyorc_tpu.velocimetry import engine
+
+    import pytest
+
+    def bad(chunk):
+        raise RuntimeError("something else entirely")
+
+    with pytest.raises(RuntimeError, match="something else"):
+        engine._run_chunk_oom_backoff(bad, np.zeros((8, 4, 4), np.float32))

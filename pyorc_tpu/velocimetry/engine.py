@@ -133,17 +133,35 @@ def get_piv(
     time_all = frames["time"].values
     data = frames.data
 
-    if ensemble_corr:
-        if passes > 1:
-            raise ValueError("ensemble_corr=True cannot be combined with passes > 1.")
-        return _piv_ensemble(
+    with _maybe_profile():
+        if ensemble_corr:
+            if passes > 1:
+                raise ValueError("ensemble_corr=True cannot be combined with passes > 1.")
+            return _piv_ensemble(
+                data, time_all, y, x, dt, res_y, res_x, n_rows, n_cols, dim_size, sas, ov,
+                chunksize, corr_min, s2n_min, count_min, signal_threshold, frames.attrs,
+            )
+        return _piv_timestep(
             data, time_all, y, x, dt, res_y, res_x, n_rows, n_cols, dim_size, sas, ov,
-            chunksize, corr_min, s2n_min, count_min, signal_threshold, frames.attrs,
+            chunksize, signal_threshold, frames.attrs, passes,
         )
-    return _piv_timestep(
-        data, time_all, y, x, dt, res_y, res_x, n_rows, n_cols, dim_size, sas, ov,
-        chunksize, signal_threshold, frames.attrs, passes,
-    )
+
+
+def _maybe_profile():
+    """jax.profiler trace around the PIV loop when PYORC_TPU_PROFILE=<dir>.
+
+    SURVEY §5: the reference has no profiling beyond tqdm; the TPU build
+    exposes the XLA profiler (view the trace with TensorBoard or Perfetto).
+    """
+    import contextlib
+    import os
+
+    trace_dir = os.environ.get("PYORC_TPU_PROFILE")
+    if not trace_dir:
+        return contextlib.nullcontext()
+    import jax
+
+    return jax.profiler.trace(trace_dir)
 
 
 def _piv_timestep(

@@ -240,3 +240,20 @@ def test_reduce_unknown_dim_raises():
     )
     out = ds2.mean(dim="t")
     assert out["a"].dims == ("x",) and out["b"].dims == ("x",)
+
+
+def test_sample_data_offline(tmp_path, monkeypatch):
+    """Cache hits need no network; misses fail with an actionable error."""
+    import pytest
+
+    from pyorc_tpu import sample_data
+
+    monkeypatch.setenv("PYORC_TPU_CACHE", str(tmp_path))
+    (tmp_path / "cs1.geojson").write_text("{}")
+    (tmp_path / "cam_config_gcps.json").write_text("{}")
+    cs, cam = sample_data.get_hommerich_pyorc_files()
+    assert cs.endswith("cs1.geojson")
+    # video is not cached -> must raise with the manual-placement hint
+    monkeypatch.setattr(sample_data, "BASE_URL", "http://127.0.0.1:1/nope")
+    with pytest.raises(IOError, match="place the file manually"):
+        sample_data.get_hommerich_dataset()

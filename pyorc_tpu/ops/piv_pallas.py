@@ -258,7 +258,19 @@ def piv_pairs_fused(
     row0, col0 = win.get_window_starts(dim_size, sas, overlap)
     step_y = piv_ops._strided_axis_starts(np.asarray(row0), wy)
     step_x = piv_ops._strided_axis_starts(np.asarray(col0), wx)
-    if step_y is None or step_x is None or signal_threshold is not None:
+    # Mosaic constraints: band DMA offsets (band * step_y) must be provably
+    # divisible by the 8-sublane tiling, and odd window/step geometry (e.g.
+    # the 26/13 grid from window_size 25) hits unaligned-slice lowering
+    # failures — those configs run the XLA pipeline instead
+    aligned = (
+        step_y is not None
+        and step_x is not None
+        and step_y % 8 == 0
+        and step_x % 8 == 0
+        and wy % 8 == 0
+        and wx % 8 == 0
+    )
+    if not aligned or signal_threshold is not None:
         return piv_ops.piv_pairs(imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold)
     # strip planning: the per-pair output blocks live in VMEM for the whole
     # program ([1, nb, n_cols, 1] is tile-padded to nb * pad8(n_cols) * 128
@@ -268,9 +280,21 @@ def piv_pairs_fused(
     band_scratch = 4 * wy * imgs.shape[-1] * 4
     per_band = (-(-n_cols // 8) * 8) * 128 * 4 * 4
     nb_max = max(int(((14 << 20) - band_scratch - (3 << 20)) // per_band), 4)
-    return _piv_pairs_fused_strips(
-        jnp.asarray(imgs), (wy, wx), (step_y, step_x), n_rows, n_cols, nb_max, bool(interpret)
-    )
+    try:
+        return _piv_pairs_fused_strips(
+            jnp.asarray(imgs), (wy, wx), (step_y, step_x), n_rows, n_cols, nb_max, bool(interpret)
+        )
+    except Exception as e:  # Mosaic lowering rejections surface at run time
+        if "Mosaic" not in str(e) and "vmem" not in str(e).lower():
+            raise
+        import warnings
+
+        warnings.warn(
+            f"Fused PIV kernel failed to compile for this configuration ({e}); "
+            "falling back to the XLA pipeline.",
+            stacklevel=2,
+        )
+        return piv_ops.piv_pairs(imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold)
 
 
 def _piv_pairs_fused_strips(imgs, sas, steps, n_rows, n_cols, nb_max, interpret):

@@ -63,11 +63,19 @@ def piv_pairs_sharded(
     mesh: Optional[Mesh] = None,
     signal_threshold: Optional[float] = None,
     corr_method: str = "auto",
+    engine: str = "auto",
 ):
     """Per-timestep PIV sharded over frame pairs.
 
+    ``engine``: 'auto' uses the fused Pallas kernel per shard on TPU backends
+    and the XLA pipeline elsewhere; 'xla' forces the XLA path; 'fused' forces
+    the kernel; 'fused-interpret' runs the kernel in interpret mode (CPU-mesh
+    testing of the kernel-in-shard_map composition).
+
     Returns (u, v, corr_max, s2n) each [n_pairs, n_rows, n_cols] (numpy).
     """
+    import jax as _jax
+
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     sas = tuple(win._as2(window_size if search_area_size is None else search_area_size))
@@ -75,18 +83,31 @@ def piv_pairs_sharded(
     dim_size = imgs.shape[-2:]
     n_rows, n_cols = win.get_field_shape(dim_size, sas, ov)
     stacked, n_pairs = pad_pairs_for_devices(np.asarray(imgs), n_dev)
+    if engine == "auto":
+        engine = "fused" if _jax.default_backend() not in ("cpu",) else "xla"
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=P("pairs"),
         out_specs=P("pairs"),
+        # no collectives in the per-pair path; pallas_call outputs carry no
+        # varying-mesh-axes annotation, so vma checking must be off
+        check_vma=False,
     )
     def run(frames_dev):
         # frames_dev: [1, P+1, H, W] on each device
-        u, v, cmax, s2n = piv_ops.piv_pairs(
-            frames_dev[0], dim_size, sas, ov, n_rows, n_cols, signal_threshold, corr_method
-        )
+        if engine.startswith("fused"):
+            from ..ops import piv_pallas
+
+            u, v, cmax, s2n = piv_pallas.piv_pairs_fused(
+                frames_dev[0], dim_size, sas, ov, n_rows, n_cols, signal_threshold,
+                interpret=(engine == "fused-interpret"),
+            )
+        else:
+            u, v, cmax, s2n = piv_ops.piv_pairs(
+                frames_dev[0], dim_size, sas, ov, n_rows, n_cols, signal_threshold, corr_method
+            )
         return u[None], v[None], cmax[None], s2n[None]
 
     sharding = NamedSharding(mesh, P("pairs"))

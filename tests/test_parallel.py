@@ -56,3 +56,15 @@ def test_ensemble_sharded_matches_single(frame_stack):
     assert np.allclose(cc1, cc8)
     assert np.allclose(cs1, cs8, atol=2e-3)
     assert np.allclose(cm1, cm8, atol=1e-4)
+
+
+def test_sharded_fused_kernel_matches_xla(rng):
+    """The fused Pallas kernel composes with shard_map (interpret on CPU mesh)."""
+    from pyorc_tpu.parallel import piv as par
+
+    img = make_particle_image(rng, 96, 128)
+    frames = np.stack([shift_image(img, 2.0 * t, -t) for t in range(9)]).astype(np.float32)
+    out_xla = par.piv_pairs_sharded(frames, (32, 32), (16, 16), engine="xla")
+    out_fused = par.piv_pairs_sharded(frames, (32, 32), (16, 16), engine="fused-interpret")
+    for a, b in zip(out_xla, out_fused):
+        assert np.allclose(a, b, atol=1e-3, equal_nan=True)

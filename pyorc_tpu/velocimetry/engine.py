@@ -47,6 +47,20 @@ def _chunk_plan(n_frames, dim_size, window_size, overlap, search_area_size, chun
     return int(chunksize)
 
 
+def _shard_enabled() -> bool:
+    """Shard chunks over the pair axis when more than one device is visible.
+
+    PYORC_TPU_SHARD=0 forces the single-device path.
+    """
+    import os
+
+    import jax
+
+    if os.environ.get("PYORC_TPU_SHARD", "1") == "0":
+        return False
+    return jax.device_count() > 1
+
+
 def _run_chunk_oom_backoff(fn, chunk, min_frames=3):
     """Run fn(chunk_frames) with halving splits on device OOM.
 
@@ -180,7 +194,15 @@ def _piv_timestep(
     dt_vals = np.asarray(dt.values if hasattr(dt, "values") else dt, dtype=np.float64)
     us, vs, cms, s2ns = [], [], [], []
     pbar = tqdm(total=data.shape[0] - 1, desc="PIV (per frame pair)", position=0, leave=True)
+    use_sharded = _shard_enabled() and passes == 1
+
     def run_one(frames_np):
+        if use_sharded:
+            from .. import parallel
+
+            return parallel.piv_pairs_sharded(
+                np.asarray(frames_np), sas, ov, sas, signal_threshold=signal_threshold
+            )
         dev = jax.device_put(np.asarray(frames_np))
         if use_fused:
             return piv_pallas.piv_pairs_fused(dev, dim_size, sas, ov, n_rows, n_cols, signal_threshold)
@@ -221,18 +243,27 @@ def _piv_ensemble(
     cms, s2ns = [], []
     n_pairs_total = data.shape[0] - 1
     pbar = tqdm(total=n_pairs_total, desc="PIV (ensemble)", position=0, leave=True)
+    use_sharded = _shard_enabled()
     for start, chunk in _iter_chunks(data, chunksize):
-        cs, cc, cmax, s2n = piv_ops.piv_ensemble_scan(
-            jax.device_put(np.asarray(chunk)),
-            dim_size,
-            sas,
-            ov,
-            n_rows,
-            n_cols,
-            corr_min,
-            s2n_min,
-            signal_threshold,
-        )
+        if use_sharded:
+            from .. import parallel
+
+            cs, cc, cmax, s2n = parallel.piv_ensemble_sharded(
+                np.asarray(chunk), sas, ov, sas,
+                corr_min=corr_min, s2n_min=s2n_min, signal_threshold=signal_threshold,
+            )
+        else:
+            cs, cc, cmax, s2n = piv_ops.piv_ensemble_scan(
+                jax.device_put(np.asarray(chunk)),
+                dim_size,
+                sas,
+                ov,
+                n_rows,
+                n_cols,
+                corr_min,
+                s2n_min,
+                signal_threshold,
+            )
         corr_sum = corr_sum + np.asarray(cs)
         corr_count = corr_count + np.asarray(cc)
         cms.append(np.asarray(cmax))

@@ -142,7 +142,12 @@ def get_piv(
     sas = tuple(win._as2(search_area_size))
     ov = tuple(win._as2(overlap))
     n_rows, n_cols = len(y), len(x)
+    auto_chunk = chunksize is None
     chunksize = _chunk_plan(n_frames, dim_size, window_size, ov, sas, chunksize, memory_factor)
+    if auto_chunk and _shard_enabled():
+        # the memory model is per device; sharded chunks split over the mesh,
+        # so scale the chunk so each device gets a worthwhile pair batch
+        chunksize = min(n_frames, chunksize * jax.device_count())
 
     time_all = frames["time"].values
     data = frames.data

@@ -18,9 +18,11 @@ extern "C" {
 #include <libswscale/swscale.h>
 }
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <vector>
 
 namespace {
 
@@ -38,8 +40,45 @@ struct VideoCtx {
     int64_t n_frames = 0;
     int64_t next_frame = 0;  // next frame number the decoder will produce
     int sws_fmt = -1;        // current swscale target format
+    std::string path;
+    std::vector<int64_t> pts_index;  // sorted presentation timestamps, one per frame
+    bool index_built = false;
     std::string error;
 };
+
+// Exact frame index: metadata frame rates lie for VFR sources (e.g. a "5fps"
+// mkv whose real spacing differs), so pts*fps frame numbering drifts after a
+// seek. One packet scan (no decoding) records every video pts; frame number
+// is then the rank of a frame's pts in this sorted table.
+void build_index(VideoCtx* ctx) {
+    ctx->index_built = true;  // only try once
+    AVFormatContext* f = nullptr;
+    if (avformat_open_input(&f, ctx->path.c_str(), nullptr, nullptr) < 0) return;
+    if (avformat_find_stream_info(f, nullptr) < 0) {
+        avformat_close_input(&f);
+        return;
+    }
+    AVPacket* p = av_packet_alloc();
+    std::vector<int64_t> v;
+    while (av_read_frame(f, p) >= 0) {
+        if (p->stream_index == ctx->stream_idx) {
+            int64_t ts = p->pts != AV_NOPTS_VALUE ? p->pts : p->dts;
+            if (ts != AV_NOPTS_VALUE) v.push_back(ts);
+        }
+        av_packet_unref(p);
+    }
+    av_packet_free(&p);
+    avformat_close_input(&f);
+    std::sort(v.begin(), v.end());
+    ctx->pts_index = std::move(v);
+    if (!ctx->pts_index.empty()) ctx->n_frames = (int64_t)ctx->pts_index.size();
+}
+
+int64_t pts_to_index(const VideoCtx* ctx, int64_t pts) {
+    auto it = std::lower_bound(ctx->pts_index.begin(), ctx->pts_index.end(), pts);
+    if (it == ctx->pts_index.end()) return (int64_t)ctx->pts_index.size() - 1;
+    return (int64_t)(it - ctx->pts_index.begin());
+}
 
 // cv2's BGR->GRAY fixed-point weights (imgproc color_lut: R 0.299 G 0.587
 // B 0.114 scaled by 2^14 with round-half-up), applied to the same
@@ -73,6 +112,7 @@ extern "C" {
 
 void* vd_open(const char* path) {
     auto* ctx = new VideoCtx();
+    ctx->path = path;
     if (avformat_open_input(&ctx->fmt, path, nullptr, nullptr) < 0) {
         delete ctx;
         return nullptr;
@@ -132,8 +172,16 @@ int64_t vd_read(void* handle, int64_t start, int64_t count, int gray, uint8_t* o
     AVStream* st = ctx->fmt->streams[ctx->stream_idx];
 
     if (start != ctx->next_frame) {
-        // seek to the keyframe at/before start, then roll forward
-        int64_t ts = (int64_t)((start / ctx->fps) / av_q2d(st->time_base));
+        // seek to the keyframe at/before start, then roll forward; the pts
+        // index (built lazily on first seek) gives exact targets/numbering
+        if (!ctx->index_built) build_index(ctx);
+        int64_t ts;
+        if (!ctx->pts_index.empty()) {
+            int64_t i = start < (int64_t)ctx->pts_index.size() ? start : (int64_t)ctx->pts_index.size() - 1;
+            ts = ctx->pts_index[i];
+        } else {
+            ts = (int64_t)((start / ctx->fps) / av_q2d(st->time_base));
+        }
         if (av_seek_frame(ctx->fmt, ctx->stream_idx, ts, AVSEEK_FLAG_BACKWARD) >= 0) {
             avcodec_flush_buffers(ctx->codec);
             ctx->next_frame = -1;  // unknown until first decoded frame
@@ -164,7 +212,13 @@ int64_t vd_read(void* handle, int64_t start, int64_t count, int gray, uint8_t* o
             int64_t fno;
             if (ctx->next_frame < 0) {
                 int64_t pts = ctx->frame->best_effort_timestamp;
-                fno = (pts == AV_NOPTS_VALUE) ? start : pts_to_frame(ctx, pts);
+                if (pts == AV_NOPTS_VALUE) {
+                    fno = start;
+                } else if (!ctx->pts_index.empty()) {
+                    fno = pts_to_index(ctx, pts);
+                } else {
+                    fno = pts_to_frame(ctx, pts);
+                }
             } else {
                 fno = ctx->next_frame;
             }

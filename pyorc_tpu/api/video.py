@@ -322,7 +322,15 @@ class Video:
                     from ..io import native_decoder
 
                     if native_decoder.available():
-                        self._native_reader_cache = native_decoder.NativeVideoReader(self.fn)
+                        workers = int(os.environ.get("PYORC_TPU_DECODE_WORKERS", "1"))
+                        if workers > 1:
+                            # GOP-parallel segment decode: the ingest fast path
+                            # for high-resolution sources on many-core hosts
+                            self._native_reader_cache = native_decoder.ParallelVideoReader(
+                                self.fn, workers=workers
+                            )
+                        else:
+                            self._native_reader_cache = native_decoder.NativeVideoReader(self.fn)
                 except Exception:
                     self._native_reader_cache = None
         return self._native_reader_cache

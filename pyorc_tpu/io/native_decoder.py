@@ -125,3 +125,54 @@ class NativeVideoReader:
             self.close()
         except Exception:
             pass
+
+
+class ParallelVideoReader:
+    """GOP-parallel batch decode: N workers each seek to a keyframe and decode
+    a contiguous segment (one FFmpeg decoder instance per worker, GIL released
+    inside vd_read). This is what makes faster-than-realtime ingest possible
+    for 4K sources, where single-stream decode is the end-to-end bottleneck
+    (reference decode is a strictly sequential cv2 loop,
+    reference pyorc/api/video.py:136-211).
+    """
+
+    def __init__(self, path: str, workers: int = 4):
+        if not available():
+            raise RuntimeError("native decoder unavailable")
+        self._path = path
+        self._workers = max(int(workers), 1)
+        self._readers = [NativeVideoReader(path) for _ in range(self._workers)]
+        r0 = self._readers[0]
+        self.fps = r0.fps
+        self.frame_count = r0.frame_count
+        self.width = r0.width
+        self.height = r0.height
+
+    def read(self, start: int, count: int, gray: bool = True) -> np.ndarray:
+        import concurrent.futures as cf
+
+        n_seg = min(self._workers, max(count, 1))
+        bounds = np.linspace(start, start + count, n_seg + 1).astype(int)
+        segs = [(int(a), int(b - a)) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+
+        def work(i, s0, cnt):
+            return i, self._readers[i].read(s0, cnt, gray=gray)
+
+        out = [None] * len(segs)
+        with cf.ThreadPoolExecutor(max_workers=len(segs)) as ex:
+            futs = [ex.submit(work, i, s0, cnt) for i, (s0, cnt) in enumerate(segs)]
+            for f in futs:
+                i, arr = f.result()
+                out[i] = arr
+        return np.concatenate(out, axis=0)
+
+    def close(self):
+        for r in self._readers:
+            r.close()
+        self._readers = []
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -122,3 +122,36 @@ def test_video_pickle_drops_native_handle():
     vid2 = pickle.loads(pickle.dumps(vid))
     frames = vid2._decode_frames(np.arange(2), "grayscale")
     assert frames.shape[0] == 2
+
+
+def test_seek_exact_on_vfr_metadata():
+    """Seek-started segments are bit-identical to sequential decode even when
+    the container's metadata frame rate doesn't match real frame spacing
+    (the pts index, not pts*fps, numbers the frames)."""
+    path = "/root/reference/examples/camera_calib/camera_calib_720p.mkv"
+    import os
+
+    if not os.path.isfile(path):
+        pytest.skip("calibration video unavailable")
+    ref = native_decoder.NativeVideoReader(path).read(0, 100, gray=True)
+    r = native_decoder.NativeVideoReader(path)
+    for s0 in (90, 37, 61):
+        seg = r.read(s0, 3, gray=True)
+        assert np.array_equal(seg, ref[s0 : s0 + 3]), f"seek to {s0} misaligned"
+    r.close()
+
+
+def test_parallel_reader_matches_sequential():
+    path = "/root/reference/examples/camera_calib/camera_calib_720p.mkv"
+    import os
+
+    if not os.path.isfile(path):
+        pytest.skip("calibration video unavailable")
+    ref = native_decoder.NativeVideoReader(path).read(0, 60, gray=True)
+    pr = native_decoder.ParallelVideoReader(path, workers=3)
+    assert pr.frame_count > 0 and pr.width == 1280
+    a = pr.read(0, 60, gray=True)
+    b = pr.read(0, 60, gray=True)  # reuse re-seeks every segment
+    pr.close()
+    assert np.array_equal(a, ref)
+    assert np.array_equal(b, ref)

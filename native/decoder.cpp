@@ -154,6 +154,23 @@ void* vd_open(const char* path) {
     return ctx;
 }
 
+// presentation timestamps (ms) for every frame, from the pts index (one
+// packet scan, no decoding). Returns frames written (<= max_n), <0 on error.
+int64_t vd_timestamps(void* handle, double* out_ms, int64_t max_n) {
+    auto* ctx = static_cast<VideoCtx*>(handle);
+    if (!ctx) return -1;
+    if (!ctx->index_built) build_index(ctx);
+    if (ctx->pts_index.empty()) return -1;
+    AVStream* st = ctx->fmt->streams[ctx->stream_idx];
+    double tb_ms = av_q2d(st->time_base) * 1000.0;
+    // cv2's POS_MSEC is relative to the stream start; match that convention
+    int64_t t0 = st->start_time != AV_NOPTS_VALUE ? st->start_time : 0;
+    int64_t n = (int64_t)ctx->pts_index.size();
+    if (n > max_n) n = max_n;
+    for (int64_t i = 0; i < n; ++i) out_ms[i] = (ctx->pts_index[i] - t0) * tb_ms;
+    return n;
+}
+
 int vd_meta(void* handle, double* fps, int64_t* n_frames, int* w, int* h) {
     auto* ctx = static_cast<VideoCtx*>(handle);
     if (!ctx) return -1;

@@ -180,16 +180,22 @@ class Video:
         else:
             end_frame = self.frame_count
         self.rotation = rotation
-        time, frame_number, frames = vr.get_time_frames(
-            cap,
-            start_frame,
-            end_frame,
-            lazy=lazy,
-            rotation=self._rotation_code,
-            method="bgr",
-            fps=fps,
-            progress=progress,
-        )
+        time = frame_number = None
+        if lazy:
+            time, frame_number = self._native_time_scan(fn, start_frame, end_frame, fps)
+        if time is None:
+            time, frame_number, frames = vr.get_time_frames(
+                cap,
+                start_frame,
+                end_frame,
+                lazy=lazy,
+                rotation=self._rotation_code,
+                method="bgr",
+                fps=fps,
+                progress=progress,
+            )
+        else:
+            frames = None
         self._eager_frames = frames
         if len(frame_number) > 0 and frame_number[-1] != end_frame:
             warnings.warn(
@@ -304,6 +310,45 @@ class Video:
         self._start_frame = 0 if start_frame is None else start_frame
 
     # -- decode ------------------------------------------------------------
+
+    def _native_time_scan(self, fn, start_frame, end_frame, fps):
+        """Timestamp scan via the native pts index (one packet scan, NO
+        decoding) instead of decoding every frame like the cv2 scan
+        (reference pyorc/cv.py:923-990). Returns (None, None) when the
+        native decoder is unavailable so the caller falls back.
+        """
+        if os.environ.get("PYORC_TPU_NATIVE_DECODE", "1") == "0":
+            return None, None
+        try:
+            from ..io import native_decoder
+
+            if not native_decoder.available():
+                return None, None
+            reader = native_decoder.NativeVideoReader(fn)
+            ts = reader.timestamps()
+            if ts is None or len(ts) == 0:
+                reader.close()
+                return None, None
+            end = int(min(end_frame, len(ts) - 1))
+            # tail validation: the index counts packets; confirm the last
+            # frame actually decodes, walking back over a corrupt tail
+            while end >= start_frame and reader.read(end, 1, gray=True).shape[0] == 0:
+                end -= 1
+            if end < start_frame:
+                reader.close()
+                return None, None
+            if int(os.environ.get("PYORC_TPU_DECODE_WORKERS", "1")) > 1:
+                reader.close()  # the _native_reader property builds the parallel pump
+            else:
+                self._native_reader_cache = reader
+            frame_number = list(range(start_frame, end + 1))
+            if fps is not None:
+                time = [n * 1000.0 / fps for n in frame_number]
+            else:
+                time = [float(ts[n]) for n in frame_number]
+            return time, frame_number
+        except Exception:
+            return None, None
 
     @property
     def _native_reader(self):

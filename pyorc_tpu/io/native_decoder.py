@@ -67,6 +67,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.vd_close.restype = None
         lib.vd_close.argtypes = [ctypes.c_void_p]
+        lib.vd_timestamps.restype = ctypes.c_int64
+        lib.vd_timestamps.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+        ]
         _LIB = lib
         return _LIB
 
@@ -114,6 +120,18 @@ class NativeVideoReader:
         if gray:
             return out
         return out.reshape(-1, self.height, self.width, 3)
+
+    def timestamps(self) -> Optional[np.ndarray]:
+        """Per-frame presentation times in ms (packet scan, no decoding)."""
+        cap = max(self.frame_count * 2, 1024)
+        out = np.empty(cap, dtype=np.float64)
+        with self._lock:
+            n = self._lib.vd_timestamps(
+                self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap
+            )
+        if n <= 0:
+            return None
+        return out[:n].copy()
 
     def close(self):
         if getattr(self, "_handle", None):

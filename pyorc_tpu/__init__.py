@@ -22,9 +22,16 @@ __all__ = [
     "Video",
     "CameraConfig",
     "CrossSection",
+    "Frames",
+    "Velocimetry",
+    "Transect",
     "load_camera_config",
     "get_camera_config",
+    "project_numpy",
+    "project_cv",
     "service",
+    "cli",
+    "sample_data",
     "__version__",
 ]
 
@@ -43,7 +50,23 @@ def __getattr__(name):
         from .api.cross_section import CrossSection
 
         return CrossSection
-    if name in ("service", "sample_data"):
+    if name == "Frames":
+        from .api.frames import Frames
+
+        return Frames
+    if name == "Velocimetry":
+        from .api.velocimetry import Velocimetry
+
+        return Velocimetry
+    if name == "Transect":
+        from .api.transect import Transect
+
+        return Transect
+    if name in ("project_numpy", "project_cv"):
+        from . import project
+
+        return getattr(project, name)
+    if name in ("service", "sample_data", "cli", "project"):
         import importlib
         import sys
 

@@ -164,3 +164,33 @@ def test_e2e_piv_multipass(frames):
     # ensemble + multipass is rejected
     with pytest.raises(ValueError, match="ensemble_corr"):
         f_proj.frames.get_piv(ensemble_corr=True, passes=2)
+
+
+def test_reference_export_parity():
+    """Every name the reference exports at package level resolves here."""
+    import pyorc_tpu
+
+    for n in [
+        "CameraConfig", "load_camera_config", "get_camera_config", "Video",
+        "Frames", "Velocimetry", "Transect", "CrossSection",
+        "service", "cli", "sample_data", "project_numpy", "project_cv",
+    ]:
+        assert getattr(pyorc_tpu, n) is not None
+
+
+def test_project_numpy_matches_accessor(frames, vid):
+    import copy
+
+    import pyorc_tpu
+
+    proj_acc = frames.frames.project()
+    cc = copy.deepcopy(frames.frames.camera_config)
+    shape = cc.shape
+    y = np.flipud(np.linspace(cc.resolution / 2, cc.resolution * (shape[0] - 0.5), shape[0]))
+    x = np.linspace(cc.resolution / 2, cc.resolution * (shape[1] - 0.5), shape[1])
+    z = cc.get_z_a(vid.h_a)
+    proj_fn = pyorc_tpu.project_numpy(frames, cc, x, y, z)
+    assert proj_fn.shape == proj_acc.shape
+    assert np.array_equal(
+        np.asarray(proj_fn.values, dtype=float), np.asarray(proj_acc.values, dtype=float)
+    )

@@ -588,6 +588,102 @@ class CameraConfig:
 
     # -- serialization ------------------------------------------------------------------
 
+    # -- plotting (reference cameraconfig.py:1297-1599) ------------------------------
+
+    def plot_bbox(
+        self, ax=None, camera: bool = False, mode: str = "geographical",
+        transformer=None, h_a: Optional[float] = None, within_image: bool = True, **kwargs,
+    ):
+        """Plot the area-of-interest bounding box in geographical or camera view."""
+        import matplotlib.pyplot as plt
+
+        if camera:
+            mode = "camera"
+        if ax is None:
+            _, ax = plt.subplots()
+        if mode == "camera":
+            bbox = self.get_bbox(mode="camera", h_a=h_a, within_image=within_image)
+        else:
+            bbox = self.bbox
+        bx, by = bbox.exterior.xy
+        bx, by = np.asarray(bx), np.asarray(by)
+        if transformer is not None:
+            bx, by = transformer(bx, by)
+        ax.plot(bx, by, **({"color": "k"} | kwargs))
+        return ax
+
+    def plot(
+        self, figsize=(13, 8), ax=None, tiles=None, buffer: float = 0.0005,
+        zoom_level: int = 19, camera: bool = False, mode: str = "geographical",
+        pose_length: float = 1.0, tiles_kwargs=None,
+    ):
+        """Overview plot of the camera configuration: GCPs, bbox, lens position.
+
+        ``mode``: "geographical" (world x/y), "camera" (image pixels) or "3d"
+        (world with camera pose axes). Basemap ``tiles`` need cartopy, which is
+        not bundled; the argument is accepted and ignored with a warning.
+        """
+        import matplotlib.pyplot as plt
+
+        if camera:
+            mode = "camera"
+        if tiles is not None:
+            warnings.warn("Basemap tiles require cartopy, which is not available; plotting without.", stacklevel=2)
+        if mode == "3d":
+            if ax is None:
+                fig = plt.figure(figsize=figsize)
+                ax = fig.add_subplot(projection="3d")
+            dst = np.asarray(self.gcps["dst"], dtype=np.float64)
+            zs = dst[:, 2] if dst.shape[1] > 2 else np.full(len(dst), self.gcps.get("z_0") or 0.0)
+            ax.scatter(dst[:, 0], dst[:, 1], zs, c="r", marker="+", label="GCPs")
+            self.plot_3d_pose(ax=ax, length=pose_length)
+            ax.legend()
+            return ax
+        if ax is None:
+            _, ax = plt.subplots(figsize=figsize)
+        if mode == "camera":
+            src = np.asarray(self.gcps["src"], dtype=np.float64)
+            ax.plot(src[:, 0], src[:, 1], "r+", markersize=12, label="GCPs (src)")
+            self.plot_bbox(ax=ax, mode="camera", color="c", label="AOI")
+            ax.set_xlim(0, self.width)
+            ax.set_ylim(self.height, 0)
+        else:
+            dst = self.gcps_dest
+            if dst is not None:
+                dst = np.asarray(dst)
+                ax.plot(dst[:, 0], dst[:, 1], "r+", markersize=12, label="GCPs")
+            self.plot_bbox(ax=ax, label="bbox")
+            if self.lens_position is not None:
+                ax.plot(self.lens_position[0], self.lens_position[1], "b^", label="lens position")
+            ax.axis("equal")
+        ax.legend()
+        return ax
+
+    def plot_3d_pose(self, ax=None, length: float = 1):
+        """Draw the camera's pose axes (x red, y green, z blue) in world coords."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            fig = plt.figure()
+            ax = fig.add_subplot(projection="3d")
+        rvec = np.asarray(self.rvec, dtype=np.float64).reshape(3)
+        tvec = np.asarray(self.tvec, dtype=np.float64).reshape(3)
+        rot = cam.rodrigues(rvec)
+        # camera centre in world coordinates: C = -R^T t
+        center = -rot.T @ tvec
+        handles = []
+        for axis_vec, color in zip(np.eye(3), ("r", "g", "b")):
+            world_dir = rot.T @ axis_vec
+            handles.append(
+                ax.quiver(
+                    center[0], center[1], center[2],
+                    world_dir[0], world_dir[1], world_dir[2],
+                    length=length, color=color,
+                )
+            )
+        ax.scatter(*center, c="k", marker="^")
+        return handles
+
     def to_dict(self) -> Dict:
         d = copy.deepcopy(self.__dict__)
         for k in list(d.keys()):

@@ -720,3 +720,99 @@ class CrossSection:
                 z = self.camera_config.h_to_z(h)
                 ax.axhline(z, color="c", linestyle="--")
         return ax
+
+    # -- plot wrappers over the surface getters (reference cross_section.py:1124-1378) --
+
+    @staticmethod
+    def _plot_ax(ax, camera: bool):
+        import matplotlib.pyplot as plt
+
+        if ax is not None:
+            return ax
+        if camera:
+            _, ax = plt.subplots()
+            return ax
+        fig = plt.figure()
+        return fig.add_subplot(projection="3d")
+
+    @staticmethod
+    def _plot_geoms(ax, geoms, camera: bool, **kwargs):
+        """Draw polygon(s)/line(s) on a 2-D (camera) or 3-D (world) axes."""
+        handles = []
+        if geoms is None:
+            return handles
+        items = list(getattr(geoms, "geoms", [geoms]))
+        for g in items:
+            coords = np.asarray(
+                g.exterior.coords if hasattr(g, "exterior") and g.exterior is not None else g.coords
+            )
+            if camera:
+                handles.append(ax.fill(coords[:, 0], coords[:, 1], **({"alpha": 0.4} | kwargs))[0])
+            else:
+                from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+                poly = Poly3DCollection([coords[:, :3]], **({"alpha": 0.4} | kwargs))
+                ax.add_collection3d(poly)
+                handles.append(poly)
+                ax.auto_scale_xyz(coords[:, 0], coords[:, 1], coords[:, 2])
+        return handles
+
+    def plot_cs(self, ax=None, camera: bool = False, swap_y_coords: bool = False, **kwargs):
+        """Plot the cross-section line in the world (3d) or camera objective."""
+        ax = self._plot_ax(ax, camera)
+        if camera:
+            pix = self.camera_config.project_points(
+                np.column_stack([self.x, self.y, self.z]), within_image=True, swap_y_coords=swap_y_coords
+            )
+            ax.plot(pix[:, 0], pix[:, 1], **({"color": "#385895"} | kwargs))
+        else:
+            ax.plot(self.x, self.y, self.z, **({"color": "#385895"} | kwargs))
+        return ax
+
+    def plot_planar_surface(
+        self, h: float, length: float = 2.0, offset: float = 0.0, camera: bool = False,
+        swap_y_coords: bool = False, ax=None, **kwargs,
+    ):
+        """Plot the planar water surface at level ``h``."""
+        ax = self._plot_ax(ax, camera)
+        pol = self.get_planar_surface(h, length=length, offset=offset, camera=camera, swap_y_coords=swap_y_coords)
+        self._plot_geoms(ax, pol, camera, **({"color": "c"} | kwargs))
+        return ax
+
+    def plot_bottom_surface(
+        self, length: float = 2.0, offset: float = 0.0, camera: bool = False,
+        ax=None, swap_y_coords: bool = False, **kwargs,
+    ):
+        """Plot the channel bottom surface under the cross-section."""
+        ax = self._plot_ax(ax, camera)
+        pol = self.get_bottom_surface(length=length, offset=offset, camera=camera, swap_y_coords=swap_y_coords)
+        self._plot_geoms(ax, pol, camera, **({"color": "#8B4513"} | kwargs))
+        return ax
+
+    def plot_wetted_surface(self, h: float, camera: bool = False, swap_y_coords: bool = False, ax=None, **kwargs):
+        """Plot the wetted (submerged) cross-section surface at level ``h``."""
+        ax = self._plot_ax(ax, camera)
+        pol = self.get_wetted_surface(h, camera=camera, swap_y_coords=swap_y_coords)
+        self._plot_geoms(ax, pol, camera, **({"color": "b"} | kwargs))
+        return ax
+
+    def plot_bbox_dry_wet(self, h: float, camera: bool = False, ax=None, kwargs_wet=None, kwargs_dry=None):
+        """Plot the dry- and wet-bank bounding boxes used for optical water level."""
+        ax = self._plot_ax(ax, camera)
+        wet = self.get_bbox_dry_wet(h, camera=camera)
+        dry = self.get_bbox_dry_wet(h, camera=camera, dry=True)
+        self._plot_geoms(ax, wet, camera, **({"color": "b"} | (kwargs_wet or {})))
+        self._plot_geoms(ax, dry, camera, **({"color": "y"} | (kwargs_dry or {})))
+        return ax
+
+    def plot_water_level(self, h: float, length: float = 2.0, camera: bool = False, ax=None, **kwargs):
+        """Plot the hypothesized waterline at level ``h``."""
+        ax = self._plot_ax(ax, camera)
+        lines = self.get_csl_line(h=h, length=length, camera=camera)
+        for line in lines:
+            coords = np.asarray(line.coords)
+            if camera:
+                ax.plot(coords[:, 0], coords[:, 1], **({"color": "c"} | kwargs))
+            else:
+                ax.plot(coords[:, 0], coords[:, 1], coords[:, 2], **({"color": "c"} | kwargs))
+        return ax

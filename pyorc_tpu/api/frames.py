@@ -364,6 +364,90 @@ class Frames(ORCBase):
             out.write(frame)
         out.release()
 
+    def to_ani(
+        self,
+        fn,
+        figure_kwargs=None,
+        video_kwargs=None,
+        anim_kwargs=None,
+        progress_bar: bool = True,
+        **kwargs,
+    ):
+        """Store an animation of the frames (reference frames.py:469-535)."""
+        import matplotlib.animation as animation
+        import matplotlib.pyplot as plt
+        from tqdm import tqdm
+
+        figure_kwargs = const.FIGURE_ARGS if figure_kwargs is None else figure_kwargs
+        video_kwargs = const.VIDEO_ARGS if video_kwargs is None else video_kwargs
+        anim_kwargs = const.ANIM_ARGS if anim_kwargs is None else anim_kwargs
+
+        fig = plt.figure(**figure_kwargs)
+        ax = plt.subplot(111)
+        ax.set_axis_off()
+        fig.subplots_adjust(left=0, bottom=0, right=1, top=1, wspace=None, hspace=None)
+        data = self._obj.data
+        n = data.shape[0]
+        im = ax.imshow(np.asarray(data[0]), **kwargs)
+        pbar = tqdm(total=n, desc="Writing animation", disable=not progress_bar, position=0, leave=True)
+
+        def update(i):
+            im.set_data(np.asarray(data[i]))
+            pbar.update(1)
+            return (im,)
+
+        if animation.writers.is_available("ffmpeg"):
+            anim = animation.FuncAnimation(fig, update, frames=n, **anim_kwargs)
+            anim.save(str(fn), **video_kwargs)
+        else:
+            # no ffmpeg CLI on PATH: render each figure frame and encode
+            # with cv2's VideoWriter instead
+            import cv2
+
+            fps = video_kwargs.get("fps", 25)
+            writer = None
+            for i in range(n):
+                update(i)
+                fig.canvas.draw()
+                rgba = np.asarray(fig.canvas.buffer_rgba())
+                bgr = cv2.cvtColor(rgba, cv2.COLOR_RGBA2BGR)
+                if writer is None:
+                    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+                    writer = cv2.VideoWriter(str(fn), fourcc, fps, (bgr.shape[1], bgr.shape[0]))
+                writer.write(bgr)
+            if writer is not None:
+                writer.release()
+        pbar.close()
+        plt.close(fig)
+
+    def to_geotiffs(
+        self,
+        prefix: str,
+        start_frame: int = None,
+        end_frame: int = None,
+        stride: int = 1,
+        suffix: str = ".tif",
+        progress_bar: bool = True,
+    ):
+        """Export frames as individual GeoTIFFs (reference frames.py:550-607).
+
+        Files are named ``{prefix}_{frame:04d}{suffix}``. Frames must be
+        projected.
+        """
+        from tqdm import tqdm
+
+        assert self.is_projected, "Frames must be projected before writing to GeoTIFF"
+        n = self._obj.shape[0]
+        start_frame = 0 if start_frame is None else start_frame
+        end_frame = n if end_frame is None else min(end_frame, n)
+        idxs = list(range(start_frame, end_frame, stride))
+        fns = []
+        for i in tqdm(idxs, desc="Writing GeoTIFFs", disable=not progress_bar, position=0, leave=True):
+            fn = f"{prefix}_{i:04d}{suffix}"
+            self.to_geotiff(fn, frame=i)
+            fns.append(fn)
+        return fns
+
     def to_geotiff(self, fn, frame: int = 0, crs=None):
         """Write one projected frame as a GeoTIFF (pure-Python writer)."""
         from ..io.geotiff import write_geotiff

@@ -294,6 +294,20 @@ class Video:
         self._stabilize = coords
 
     @property
+    def corners(self):
+        """[column, row] image locations of the area of interest (4 corners)."""
+        return getattr(self, "_corners", None)
+
+    @corners.setter
+    def corners(self, corners):
+        self._corners = corners
+
+    @property
+    def frames(self):
+        """Eagerly-read frames (``lazy=False``), else None."""
+        return self._eager_frames
+
+    @property
     def end_frame(self):
         return self._end_frame
 

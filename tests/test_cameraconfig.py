@@ -262,3 +262,20 @@ def test_map_mean_idx_img_ortho(cam_config):
     assert len(uidx) == norm_idx.max() + 1
     assert (uidx < rows * cols).all()
     assert (src_idx < 1080 * 1920).all()
+
+
+def test_cameraconfig_plot_methods(cam_config_6gcps):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    cc = cam_config_6gcps
+    assert cc.plot() is not None
+    ax = cc.plot(mode="camera")
+    assert len(ax.lines) > 0
+    ax3d = cc.plot(mode="3d")
+    assert ax3d.name == "3d"
+    assert len(cc.plot_3d_pose(length=1.0)) == 3
+    assert cc.plot_bbox(mode="camera") is not None
+    import matplotlib.pyplot as plt
+
+    plt.close("all")

@@ -245,3 +245,30 @@ def test_detect_water_level_de(cs):
     h = cs.detect_water_level(img, bank="far")
     z = cs.camera_config.h_to_z(h)
     assert cs.z.min() - 1 < z < cs.z.max() + 1
+
+
+def test_plot_methods(cs, camera_config):
+    """All plot wrappers render on both camera (2d) and world (3d) axes."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    h = camera_config.z_to_h(np.percentile(cs.z, 40))
+    for name, kw in [
+        ("plot_cs", {}),
+        ("plot_cs", {"camera": True}),
+        ("plot_planar_surface", {"h": h}),
+        ("plot_planar_surface", {"h": h, "camera": True}),
+        ("plot_bottom_surface", {}),
+        ("plot_bottom_surface", {"camera": True}),
+        ("plot_wetted_surface", {"h": h}),
+        ("plot_wetted_surface", {"h": h, "camera": True}),
+        ("plot_bbox_dry_wet", {"h": h}),
+        ("plot_bbox_dry_wet", {"h": h, "camera": True}),
+        ("plot_water_level", {"h": h}),
+        ("plot_water_level", {"h": h, "camera": True}),
+    ]:
+        ax = getattr(cs, name)(**kw)
+        assert ax is not None, name
+    import matplotlib.pyplot as plt
+
+    plt.close("all")

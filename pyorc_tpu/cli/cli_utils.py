@@ -248,3 +248,100 @@ def validate_recipe(recipe):
         if _c not in recipe:
             recipe[_c] = {}
     return recipe
+
+
+# -- public-API compat (reference cli/cli_utils.py) ---------------------------
+
+
+def read_shape_as_gdf(fn=None, geojson=None, gdf=None):
+    """Point coordinates + CRS from a shape source (reference cli_utils.py:365-401).
+
+    Geopandas-free build: returns (coords, crs) instead of a GeoDataFrame;
+    callers in this package consume coordinate lists directly.
+    """
+    if gdf is not None:
+        return gdf, getattr(gdf, "crs", None)
+    return read_shape(fn=fn, geojson=geojson)
+
+
+def parse_cross_section_gdf(ctx, param, value):
+    """click callback validating a cross-section shape file (reference :339-347)."""
+    if value is None:
+        return None
+    read_shape_as_gdf(fn=value)
+    return value
+
+
+def parse_lens_params(height, width, focal_length=None, k1=None, k2=None):
+    """Lens parameters -> (camera_matrix, dist_coeffs). Reference :206-226."""
+    from ..geom.calibrate import DIST_COEFFS, get_cam_mtx
+
+    camera_matrix = None
+    if focal_length is not None:
+        camera_matrix = get_cam_mtx(height, width, c=2.0, focal_length=focal_length)
+    dist_coeffs = None
+    if k1 is not None or k2 is not None:
+        dist_coeffs = [list(row) for row in DIST_COEFFS]
+        if k1 is not None:
+            dist_coeffs[0][0] = k1
+        if k2 is not None:
+            dist_coeffs[1][0] = k2
+    return camera_matrix, dist_coeffs
+
+
+def parse_geotiff(videofile, cam_config_file, fn_geotiff, frame_sample=0, logger=logging):
+    """Write a projected RGB sample frame as GeoTIFF. Reference :350-362."""
+    from ..api.video import Video
+
+    try:
+        vid = Video(
+            videofile, start_frame=frame_sample, end_frame=frame_sample + 1, camera_config=cam_config_file
+        )
+        frames = vid.get_frames(method="rgb")
+        frames_proj = frames.frames.project(reducer="nearest")
+        frames_proj.frames.to_geotiff(fn_geotiff, frame=0)
+        logger.info(f"Sample geotiff written to {fn_geotiff}")
+    except Exception as e:
+        logger.error(f"Could not create sample geotiff. Error: {e}")
+
+
+def _sample_rgb_frame(fn, frame_sample=0, rotation=None):
+    from ..api.video import Video
+
+    vid = Video(fn, start_frame=int(frame_sample), end_frame=int(frame_sample) + 1, rotation=rotation, progress=False)
+    return vid.get_frame(0, method="rgb")
+
+
+def get_gcps_interactive(
+    fn, dst, crs=None, crs_gcps=None, frame_sample=0, rotation=None, lens_position=None, camera_matrix=None,
+    dist_coeffs=None, logger=logging,
+):
+    """Interactive GCP selection on a sample frame. Reference :66-122."""
+    from .cli_elements import GcpSelect
+
+    img = _sample_rgb_frame(fn, frame_sample, rotation)
+    if crs_gcps is not None:
+        from .. import helpers
+
+        dst = helpers.xyz_transform(dst, crs_from=crs_gcps, crs_to=4326)
+    selector = GcpSelect(img, dst, crs=crs, lens_position=lens_position, logger=logger)
+    src = selector.run()
+    return src, selector.camera_matrix_fit, selector.dist_coeffs_fit
+
+
+def get_corners_interactive(fn, gcps, crs=None, crs_gcps=None, frame_sample=0, rotation=None, logger=logging):
+    """Interactive AOI corner selection on a sample frame. Reference :22-63."""
+    from .cli_elements import AoiSelect
+
+    img = _sample_rgb_frame(fn, frame_sample, rotation)
+    selector = AoiSelect(img, logger=logger)
+    return selector.run()
+
+
+def get_stabilize_pol(fn, frame_sample=0, rotation=None, logger=logging):
+    """Interactive stabilization-region selection. Reference :125-131."""
+    from .cli_elements import StabilizeSelect
+
+    img = _sample_rgb_frame(fn, frame_sample, rotation)
+    selector = StabilizeSelect(img, logger=logger)
+    return selector.run()

@@ -241,3 +241,155 @@ def deserialize_attr(data_array, attr, dtype=np.array, args_parse=False):
     if args_parse:
         return dtype(*json.loads(value))
     return dtype(json.loads(value))
+
+
+# -- public-API compat helpers (reference pyorc/helpers.py) -------------------
+
+
+def round_to_multiple(number, multiple):
+    """Round number to the nearest multiple. Reference helpers.py (AOI grid snapping)."""
+    from .geom.aoi import round_to_multiple as _impl
+
+    return _impl(number, multiple)
+
+
+def get_rotation_code(rotation):
+    """Rotation degrees -> cv2 rotation code. Reference helpers.py:245."""
+    from .io.video_reader import get_rotation_code as _impl
+
+    return _impl(rotation)
+
+
+def staggered_index(start=0, end=100):
+    """Staggered (bisection-ordered) frame index. Reference helpers.py:682-713."""
+    from .io.calibration import staggered_index as _impl
+
+    return _impl(start=start, end=end)
+
+
+def xyz_transform(points, crs_from, crs_to):
+    """Transform [x, y(, z)] points between CRSs. Reference helpers.py:916-954."""
+    from .api.cameraconfig import xyz_transform as _impl
+
+    return _impl(points, crs_from, crs_to)
+
+
+def read_shape_safe_crs(fn):
+    """Read a GeoJSON shape with CRS=None preserved (geopandas defaults missing
+    CRS to EPSG:4326; this keeps it unset). Reference helpers.py:581-599.
+    Returns (coords, crs) rather than a GeoDataFrame (geopandas-free build)."""
+    from .cli.cli_utils import read_shape as _impl
+
+    return _impl(fn=fn)
+
+
+def get_geo_axes(tiles=None, extent=None, zoom_level=19, **kwargs):
+    """Geographical plot axes. Reference helpers.py:171-204 uses cartopy image
+    tilers; cartopy is not bundled, so this returns a plain equal-aspect axes
+    (tiles are ignored with a warning)."""
+    import warnings
+
+    import matplotlib.pyplot as plt
+
+    if tiles is not None:
+        warnings.warn("Basemap tiles require cartopy, which is not available; plotting without.", stacklevel=2)
+    ax = plt.axes()
+    if extent is not None:
+        ax.set_xlim(extent[0], extent[1])
+        ax.set_ylim(extent[2], extent[3])
+    ax.set_aspect("equal")
+    return ax
+
+
+def mse(pars, func, x, y):
+    """Sum of squared errors of func(x, *pars) vs y. Reference helpers.py:459-481."""
+    y_pred = func(x, *pars)
+    return np.sum((y_pred - y) ** 2)
+
+
+def wrap_mse(pars_iter, *args):
+    """Optimizer-friendly wrapper of :func:`mse`. Reference helpers.py:796-798."""
+    return mse(pars_iter, *args)
+
+
+def neighbour_stack(array, stride=1, missing=-9999.0):
+    """Stack of spatially-shifted copies of a 2-D array ((2*stride+1)^2 layers);
+    NaNs replaced by ``missing`` so the stack is convolution-safe.
+    Reference helpers.py:484-515."""
+    array = np.array(array, dtype=float)
+    array[np.isnan(array)] = missing
+    shifted = []
+    for vert in range(-stride, stride + 1):
+        for horz in range(-stride, stride + 1):
+            conv_arr = np.full_like(array, missing)
+            src = conv_arr[
+                max(vert, 0) : array.shape[0] + min(vert, 0),
+                max(horz, 0) : array.shape[1] + min(horz, 0),
+            ]
+            src[:] = array[
+                max(-vert, 0) : array.shape[0] + min(-vert, 0),
+                max(-horz, 0) : array.shape[1] + min(-horz, 0),
+            ]
+            shifted.append(conv_arr)
+    return np.stack(shifted)
+
+
+def get_enclosed_mask(data, stride=2):
+    """Binary mask of cells that are finite OR lie in NaN holes fully enclosed
+    by finite values (NaN regions touching the border stay 0).
+    Reference helpers.py:207-242."""
+    from scipy.ndimage import label
+
+    finite = np.isfinite(np.asarray(data, dtype=float))
+    holes, n = label(~finite)
+    mask = finite.astype(float)
+    for k in range(1, n + 1):
+        region = holes == k
+        rows, cols = np.where(region)
+        touches_border = (
+            rows.min() < stride
+            or cols.min() < stride
+            or rows.max() >= data.shape[0] - stride
+            or cols.max() >= data.shape[1] - stride
+        )
+        if not touches_border:
+            mask[region] = 1.0
+    return mask
+
+
+def mask_fill(data, mask, radius=5):
+    """Fill NaN cells where ``mask == 1`` from nearby finite values (iterative
+    neighbour-mean within ``radius`` passes; cells with mask != 1 stay NaN).
+    Reference helpers.py:432-456 (rasterio fillnodata equivalent)."""
+    data = np.array(data, dtype=float)
+    mask = np.array(mask)
+    mask[np.isfinite(data)] = 1
+    out = data.copy()
+    for _ in range(int(radius)):
+        nan_fill = ~np.isfinite(out) & (mask == 1)
+        if not nan_fill.any():
+            break
+        stack = neighbour_stack(out, stride=1, missing=np.nan)
+        with np.errstate(invalid="ignore"):
+            nbr_mean = np.nanmean(stack, axis=0)
+        out[nan_fill] = nbr_mean[nan_fill]
+    out[mask != 1] = np.nan
+    return out
+
+
+def xy_to_perspective(x, y, resolution, trans_mat, reverse_y=None):
+    """Back-project local grid axes to camera-perspective pixel coordinates via
+    the 3x3 homography ``trans_mat``. Reference helpers.py:878-913."""
+    cols = np.asarray(x, dtype=np.float64) / resolution - 0.5
+    rows = np.asarray(y, dtype=np.float64) / resolution - 0.5
+    if reverse_y is not None:
+        rows = reverse_y - rows
+    cols, rows = np.broadcast_arrays(cols, rows)
+    pts = np.stack([cols.ravel(), rows.ravel(), np.ones(cols.size)])
+    m = np.asarray(trans_mat, dtype=np.float64)
+    if m.shape == (2, 3):
+        m = np.vstack([m, [0.0, 0.0, 1.0]])
+    out = m @ pts
+    xp = (out[0] / out[2]).reshape(cols.shape)
+    yp = (out[1] / out[2]).reshape(cols.shape)
+    return xp, yp

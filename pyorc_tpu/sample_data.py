@@ -49,6 +49,30 @@ def _fetch(fname: str, sha256: str = None) -> str:
     return str(dest)
 
 
+def zenodo_pooch(record_id, cache_name):
+    """Fetch all files of a Zenodo record into the cache (reference
+    sample_data.py:13-34 uses pooch; urllib here). Returns local paths."""
+    import json
+
+    meta_url = f"https://zenodo.org/api/records/{record_id}"
+    try:
+        with urllib.request.urlopen(meta_url, timeout=30) as r:  # noqa: S310
+            meta = json.load(r)
+    except Exception as e:
+        raise RuntimeError(f"Failed to fetch metadata for record {record_id}: {e}") from e
+    paths = {}
+    for f in meta.get("files", []):
+        name = f.get("key")
+        global BASE_URL
+        old = BASE_URL
+        BASE_URL = f"https://zenodo.org/records/{record_id}/files"
+        try:
+            paths[name] = _fetch(name)
+        finally:
+            BASE_URL = old
+    return paths
+
+
 def get_hommerich_dataset() -> str:
     """Path to the Hommerich sample video (downloads on first use)."""
     return _fetch("20240718_162737.mp4")
@@ -57,3 +81,14 @@ def get_hommerich_dataset() -> str:
 def get_hommerich_pyorc_files():
     """Paths to the Hommerich cross-section + camera config files."""
     return _fetch("cs1.geojson"), _fetch("cam_config_gcps.json")
+
+
+def get_hommerich_pyorc_zip() -> str:
+    """Path to the zipped Hommerich pyorc outputs (reference sample_data.py:62-85)."""
+    global BASE_URL
+    old = BASE_URL
+    BASE_URL = "https://zenodo.org/records/15002591/files"
+    try:
+        return _fetch("hommerich_20241010_081717_pyorc_data.zip.zip")
+    finally:
+        BASE_URL = old

@@ -91,6 +91,20 @@ class _Velocimetry_PlotMethods(_BasePlot):
     def __call__(self, method: str = "quiver", mode: str = "local", ax=None, add_colorbar: bool = False, **kwargs):
         return getattr(self, method)(mode=mode, ax=ax, add_colorbar=add_colorbar, **kwargs)
 
+    # (u, v, s) accessors per projection, reference plot.py:426-604
+    def get_uv_local(self):
+        u, v = self._uv("local")
+        return u, v, np.hypot(u, v)
+
+    def get_uv_geographical(self):
+        u, v = self._uv("geographical")
+        return u, v, np.hypot(u, v)
+
+    def get_uv_camera(self, dt: float = 0.1):
+        u_loc, v_loc = self._uv("local")
+        u, v = self._uv("camera")
+        return u, v, np.hypot(u_loc, v_loc)
+
     def quiver(self, mode="local", ax=None, add_colorbar=False, **kwargs):
         ax = _get_ax(ax)
         x, y, kind = self._coords(mode)
@@ -142,6 +156,54 @@ class _Velocimetry_PlotMethods(_BasePlot):
 class _Transect_PlotMethods(_BasePlot):
     def __call__(self, method: str = "quiver", mode: str = "local", ax=None, **kwargs):
         return getattr(self, method)(mode=mode, ax=ax, **kwargs)
+
+    # (u, v, s) accessors per projection, reference plot.py:363-469:
+    # u = v_eff sin(v_dir), v = v_eff cos(v_dir); geographical rotates by the
+    # grid transform's angle; camera projects displaced point pairs
+    def _uv_eff(self):
+        obj = self._obj
+        if "v_eff" in obj:
+            v_eff = obj["v_eff"].values
+        else:
+            if "v_eff_nofill" not in obj:
+                obj.transect.vector_to_scalar()  # adds v_eff_nofill in place
+            v_eff = obj["v_eff_nofill"].values
+            if v_eff.ndim == 2:  # (time, points): reduce for plotting
+                import warnings as _w
+
+                with _w.catch_warnings():
+                    _w.simplefilter("ignore", RuntimeWarning)
+                    v_eff = np.nanmedian(v_eff, axis=0)
+        u = v_eff * np.sin(obj["v_dir"].values)
+        v = v_eff * np.cos(obj["v_dir"].values)
+        return u, v, v_eff
+
+    def get_uv_local(self):
+        return self._uv_eff()
+
+    def get_uv_geographical(self):
+        u, v, s = self._uv_eff()
+        aff = self.ref.camera_config.transform
+        theta = np.arctan2(aff[1], aff[0])
+        u, v = helpers.rotate_u_v(u, v, theta)
+        return u, v, s
+
+    def get_uv_camera(self, dt: float = 0.1):
+        u, v, s = self._uv_eff()
+        if u.ndim == 2:  # quantile dim: median row for displacement geometry
+            u = u[u.shape[0] // 2]
+            v = v[v.shape[0] // 2]
+        cc = self.ref.camera_config
+        x = self._obj["x"].values
+        y = self._obj["y"].values
+        z = cc.h_to_z(self.ref.h_a)
+        cols0, rows0 = x / cc.resolution, cc.shape[0] - y / cc.resolution
+        cols1, rows1 = (x + u * dt) / cc.resolution, cc.shape[0] - (y + v * dt) / cc.resolution
+        xs0, ys0 = helpers.get_xs_ys(cols0, rows0, cc.transform)
+        xs1, ys1 = helpers.get_xs_ys(cols1, rows1, cc.transform)
+        p0 = cc.project_points(np.column_stack([xs0, ys0, np.full(x.shape, z)]), swap_y_coords=True)
+        p1 = cc.project_points(np.column_stack([xs1, ys1, np.full(x.shape, z)]), swap_y_coords=True)
+        return (p1[:, 0] - p0[:, 0]) / dt, (p1[:, 1] - p0[:, 1]) / dt, s
 
     def _points_uv(self, mode):
         obj = self._obj

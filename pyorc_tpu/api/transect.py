@@ -172,7 +172,11 @@ class Transect(ORCBase):
         ds["q"] = helpers.depth_integrate(depth_da, ds["v_eff"], v_corr=v_corr, name="q")
         return ds
 
-    def plot(self, *args, **kwargs):
+    @property
+    def plot(self):
+        """Plot methods object: callable (defaults to quiver) and exposing
+        .quiver/.pcolormesh/.scatter/.streamplot/.get_uv_* (reference
+        api/plot.py)."""
         from .plot import _Transect_PlotMethods
 
-        return _Transect_PlotMethods(self)(*args, **kwargs)
+        return _Transect_PlotMethods(self)

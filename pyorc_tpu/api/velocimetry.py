@@ -188,7 +188,11 @@ class Velocimetry(ORCBase):
             fill_na=fill_na,
         )
 
-    def plot(self, *args, **kwargs):
+    @property
+    def plot(self):
+        """Plot methods object: callable (defaults to quiver) and exposing
+        .quiver/.pcolormesh/.scatter/.streamplot/.get_uv_* (reference
+        api/plot.py)."""
         from .plot import _Velocimetry_PlotMethods
 
-        return _Velocimetry_PlotMethods(self)(*args, **kwargs)
+        return _Velocimetry_PlotMethods(self)

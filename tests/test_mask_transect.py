@@ -129,3 +129,29 @@ def test_masked_write_roundtrip(masked_ours, tmp_path):
     valid = ~np.isnan(ours)
     assert np.allclose(b[valid], ours[valid], atol=0.01)
     assert np.isnan(b[~valid]).all()
+
+
+def test_plot_get_uv_methods(masked_ours):
+    """Reference-parity (u, v, s) accessors on both plot namespaces."""
+    import warnings
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        for name in ("get_uv_local", "get_uv_geographical", "get_uv_camera"):
+            u, v, s = getattr(masked_ours.velocimetry.plot, name)()
+            assert np.asarray(u).shape == np.asarray(v).shape
+            assert np.isfinite(np.asarray(u)).any(), name
+        # transect namespace
+        cc = masked_ours.velocimetry.camera_config
+        xv, yv = masked_ours["x"].values, masked_ours["y"].values
+        x = np.linspace(float(xv.min()) + 1, float(xv.max()) - 1, 10)
+        y = np.full(10, float(yv.mean()))
+        z = np.full(10, cc.gcps["z_0"] - 0.3)
+        tr = masked_ours.velocimetry.get_transect(x, y, z).transect.get_q()
+        n_pts = tr.sizes["points"]
+        for name in ("get_uv_local", "get_uv_geographical", "get_uv_camera"):
+            u, v, s = getattr(tr.transect.plot, name)()
+            assert np.asarray(u).shape[-1] == n_pts

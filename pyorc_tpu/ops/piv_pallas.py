@@ -55,28 +55,30 @@ def _r2(op, x):
     return op(op(x, axis=-1, keepdims=True), axis=-2, keepdims=True)
 
 
-def _band_results(band_a, band_b, cy, sy, cxt, sxt, wy, wx, step_x, c0, cnt):
-    """Correlate windows [c0, c0+cnt) of one row band; returns (u, v, cmax, s2n) [cnt, 1].
-
-    NB: every intermediate stays rank>=2 (keepdims reductions) — Mosaic's
-    vector layout inference rejects rank-1 values.
-    """
+def _demean(band_a, band_b, wy, wx, step_x, c0, cnt):
+    """Build + demean window chunks; returns (a, b, sa, sb, valid)."""
     wa = _band_windows(band_a, c0, cnt, wx, step_x).astype(jnp.float32)
     wb = _band_windows(band_b, c0, cnt, wx, step_x).astype(jnp.float32)
-
-    n_pix = wy * wx
     a = wa - _r2(jnp.mean, wa)
     b = wb - _r2(jnp.mean, wb)
-    sa = jnp.sqrt(_r2(jnp.mean, a * a))  # [n_cols,1,1]
+    sa = jnp.sqrt(_r2(jnp.mean, a * a))  # [cnt,1,1]
     sb = jnp.sqrt(_r2(jnp.mean, b * b))
+    valid = (sa > 1e-6) & (sb > 1e-6)
+    return a, b, sa, sb, valid
 
-    # 2-D matmul-DFT with right-multiplications only: Mosaic lowers batched
-    # right matmuls and batched minor-dim transposes, but a broadcast LEFT
-    # matmul would need an unsupported lane-merging reshape. We therefore keep
-    # spectra TRANSPOSED: At = (Fy v FxT)^T = (P + iQ) ^T (CyT + iSyT).
+
+def _corr_raw_transposed(a, b, cxt, sxt, cyT, syT, icxt, isxt, icyT, isyT):
+    """Raw circular cross-correlation planes via transposed-spectra matmul-DFT.
+
+    2-D matmul-DFT with right-multiplications only: Mosaic lowers batched
+    right matmuls and batched minor-dim transposes, but a broadcast LEFT
+    matmul would need an unsupported lane-merging reshape. We therefore keep
+    spectra TRANSPOSED: At = (Fy v FxT)^T = (P + iQ)^T (CyT + iSyT). The
+    inverse-stage matrices (icxt...) may be row-rolled variants that bake the
+    fftshift into the transform (used by the packed path, where a plain
+    pltpu.roll would mix packed windows).
+    """
     T = lambda x: jnp.swapaxes(x, -1, -2)
-    cyT = jnp.swapaxes(cy, 0, 1)
-    syT = jnp.swapaxes(sy, 0, 1)
 
     def dft2t(v):
         p_ = jnp.matmul(v, cxt, preferred_element_type=jnp.float32)
@@ -99,25 +101,84 @@ def _band_results(band_a, band_b, cy, sy, cxt, sxt, wy, wx, step_x, c0, cnt):
     # inverse: corr = (1/N) Re(conj(Fy) S conj(Fx)^T) with S = T(St)
     st_re_t = T(st_re)
     st_im_t = T(st_im)
-    v_re = jnp.matmul(st_re_t, cxt, preferred_element_type=jnp.float32) + jnp.matmul(
-        st_im_t, sxt, preferred_element_type=jnp.float32
+    v_re = jnp.matmul(st_re_t, icxt, preferred_element_type=jnp.float32) + jnp.matmul(
+        st_im_t, isxt, preferred_element_type=jnp.float32
     )
-    v_im = jnp.matmul(st_im_t, cxt, preferred_element_type=jnp.float32) - jnp.matmul(
-        st_re_t, sxt, preferred_element_type=jnp.float32
+    v_im = jnp.matmul(st_im_t, icxt, preferred_element_type=jnp.float32) - jnp.matmul(
+        st_re_t, isxt, preferred_element_type=jnp.float32
     )
-    corr = T(
-        jnp.matmul(T(v_re), cyT, preferred_element_type=jnp.float32)
-        + jnp.matmul(T(v_im), syT, preferred_element_type=jnp.float32)
+    return T(
+        jnp.matmul(T(v_re), icyT, preferred_element_type=jnp.float32)
+        + jnp.matmul(T(v_im), isyT, preferred_element_type=jnp.float32)
     )
+
+
+def _pack_windows(w, p, wy, wx):
+    """[cnt, wy, wx] -> [cnt/p^2, p*wy, p*wx]: p x p windows per MXU tile.
+
+    Windows are grouped in CONTIGUOUS batch blocks (quadrant (r, c) of tile k
+    holds window (r*p + c) * cnt/g + k): strided batch slices would lower to
+    unsupported >2-D gathers.
+    """
+    g = p * p
+    cnt4 = w.shape[0] // g
+    chunk = lambda j: w[j * cnt4 : (j + 1) * cnt4]
+    rows = [
+        jnp.concatenate([chunk(r * p + c) for c in range(p)], axis=-1) for r in range(p)
+    ]
+    return jnp.concatenate(rows, axis=-2)
+
+
+def _unpack_windows(c4, p, wy, wx, cnt):
+    """Inverse of :func:`_pack_windows` (static slices + batch concat)."""
+    quads = [
+        c4[:, r * wy : (r + 1) * wy, c * wx : (c + 1) * wx]
+        for r in range(p)
+        for c in range(p)
+    ]
+    return jnp.concatenate(quads, axis=0)
+
+
+def _band_results(band_a, band_b, cy, sy, cxt, sxt, wy, wx, step_x, c0, cnt):
+    """Correlate windows [c0, c0+cnt) of one row band; returns (u, v, cmax, s2n) [cnt, 1].
+
+    NB: every intermediate stays rank>=2 (keepdims reductions) — Mosaic's
+    vector layout inference rejects rank-1 values.
+    """
+    a, b, sa, sb, valid = _demean(band_a, band_b, wy, wx, step_x, c0, cnt)
+    cyT = jnp.swapaxes(cy, 0, 1)
+    syT = jnp.swapaxes(sy, 0, 1)
+    corr = _corr_raw_transposed(a, b, cxt, sxt, cyT, syT, cxt, sxt, cyT, syT)
+    # fftshift both axes
+    corr = pltpu.roll(corr, wy // 2, 1)
+    corr = pltpu.roll(corr, wx // 2, 2)
+    return _finish_corr(corr, sa, sb, valid, wy, wx)
+
+
+def _band_results_packed(band_a, band_b, pm, wy, wx, step_x, c0, cnt, p):
+    """Packed-MXU variant: p x p windows share each [p*wy, p*wx] tile, so the
+    DFT matmuls run at full 128-lane width (a [64,64] matmul only uses a
+    quarter of the MXU). The fftshift is folded into row-rolled inverse
+    matrices; per-window stats unpack via static slices afterwards.
+    """
+    a, b, sa, sb, valid = _demean(band_a, band_b, wy, wx, step_x, c0, cnt)
+    a4 = _pack_windows(a, p, wy, wx)
+    b4 = _pack_windows(b, p, wy, wx)
+    corr4 = _corr_raw_transposed(
+        a4, b4, pm[0], pm[1], pm[2], pm[3], pm[4], pm[5], pm[6], pm[7]
+    )
+    corr = _unpack_windows(corr4, p, wy, wx, cnt)
+    return _finish_corr(corr, sa, sb, valid, wy, wx)
+
+
+def _finish_corr(corr, sa, sb, valid, wy, wx):
+    """Normalize fftshifted planes and reduce to (u, v, cmax, s2n) [cnt, 1]."""
+    n_pix = wy * wx
     corr = corr / n_pix
     denom = jnp.maximum(n_pix * sa * sb, 1e-10)
     corr = corr / denom
     corr = jnp.maximum(corr, 0.0)
-    valid = (sa > 1e-6) & (sb > 1e-6)  # [n_cols,1,1]
     corr = jnp.where(valid, corr, 0.0)
-    # fftshift both axes
-    corr = pltpu.roll(corr, wy // 2, 1)
-    corr = pltpu.roll(corr, wx // 2, 2)
 
     cmax = _r2(jnp.max, corr)  # [n_cols,1,1]
     cmean = _r2(jnp.mean, corr)
@@ -172,6 +233,7 @@ def _kernel(
     sy_ref,
     cx_ref,
     sx_ref,
+    pm_ref,  # [8, p*wy, p*wx] packed block-diagonal DFT matrices
     u_ref,
     v_ref,
     cmax_ref,
@@ -187,6 +249,7 @@ def _kernel(
     step_x: int,
     n_rows: int,  # bands processed by THIS launch (strip height)
     n_cols: int,
+    pack: int,  # windows packed per MXU-tile axis (1 = packing disabled)
 ):
     pair = pl.program_id(0)
     band0 = b0_ref[0]
@@ -194,6 +257,7 @@ def _kernel(
     sy = sy_ref[:]
     cxt = cx_ref[:].T
     sxt = sx_ref[:].T
+    pm = pm_ref[:] if pack > 1 else None
 
     def get_dma(slot, band_idx):
         # (band0 + idx) * step_y keeps the row offset provably divisible by
@@ -221,13 +285,34 @@ def _kernel(
         da, db = get_dma(slot, band_idx)
         da.wait()
         db.wait()
-        # process the band's windows in column chunks to bound VMEM pressure
-        col_chunk = 24
+        # process the band's windows in column chunks to bound VMEM pressure;
+        # g-multiples run the packed-MXU path, remainders the plain path.
+        # Smaller windows allow (and need) proportionally more per chunk:
+        # one packed tile per call leaves the MXU latency-bound.
+        g = pack * pack
+        base_chunk = max(24 * (64 // wx) ** 2, 24) if wx <= 64 else 24
+        col_chunk = base_chunk if g <= 4 else max((base_chunk // g), 1) * g
         for c0 in range(0, n_cols, col_chunk):
             cnt = min(col_chunk, n_cols - c0)
-            u, v, cmax, s2n = _band_results(
-                band_a[slot], band_b[slot], cy, sy, cxt, sxt, wy, wx, step_x, c0, cnt
-            )
+            n_packed = (cnt // g) * g if pack > 1 else 0
+            parts = []
+            if n_packed:
+                parts.append(
+                    _band_results_packed(
+                        band_a[slot], band_b[slot], pm, wy, wx, step_x, c0, n_packed, pack
+                    )
+                )
+            if cnt - n_packed:
+                parts.append(
+                    _band_results(
+                        band_a[slot], band_b[slot], cy, sy, cxt, sxt, wy, wx, step_x,
+                        c0 + n_packed, cnt - n_packed,
+                    )
+                )
+            if len(parts) == 2:
+                u, v, cmax, s2n = (jnp.concatenate([x, y], axis=0) for x, y in zip(*parts))
+            else:
+                u, v, cmax, s2n = parts[0]
             u_ref[0, band_idx, c0 : c0 + cnt, :] = u
             v_ref[0, band_idx, c0 : c0 + cnt, :] = v
             cmax_ref[0, band_idx, c0 : c0 + cnt, :] = cmax
@@ -261,7 +346,10 @@ def piv_pairs_fused(
     # Mosaic constraints: band DMA offsets (band * step_y) must be provably
     # divisible by the 8-sublane tiling, and odd window/step geometry (e.g.
     # the 26/13 grid from window_size 25) hits unaligned-slice lowering
-    # failures — those configs run the XLA pipeline instead
+    # failures. Small windows (< 64 px) also run the XLA pipeline: their
+    # tiles waste most of the 128-lane VPU/MXU width in the band-resident
+    # kernel (measured 4.9 pairs/s fused vs 125 XLA at 32 px on 1080p),
+    # while XLA's globally-batched form stays ~115-125 pairs/s.
     aligned = (
         step_y is not None
         and step_x is not None
@@ -269,6 +357,7 @@ def piv_pairs_fused(
         and step_x % 8 == 0
         and wy % 8 == 0
         and wx % 8 == 0
+        and min(wy, wx) >= 64
     )
     if not aligned or signal_threshold is not None:
         return piv_ops.piv_pairs(imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold)
@@ -279,7 +368,9 @@ def piv_pairs_fused(
     # scoped-VMEM limit. 1080p-class configs keep a single launch.
     band_scratch = 4 * wy * imgs.shape[-1] * 4
     per_band = (-(-n_cols // 8) * 8) * 128 * 4 * 4
-    nb_max = max(int(((14 << 20) - band_scratch - (3 << 20)) // per_band), 4)
+    # reserve: per-chunk temporaries (~3MB) + the packed DFT matrix stack
+    reserve = (3 << 20) + 8 * 128 * 128 * 4
+    nb_max = max(int(((14 << 20) - band_scratch - reserve) // per_band), 4)
     try:
         return _piv_pairs_fused_strips(
             jnp.asarray(imgs), (wy, wx), (step_y, step_x), n_rows, n_cols, nb_max, bool(interpret)
@@ -307,6 +398,25 @@ def _piv_pairs_fused_strips(imgs, sas, steps, n_rows, n_cols, nb_max, interpret)
     return tuple(jnp.concatenate([o[k] for o in outs], axis=1) for k in range(4))
 
 
+def _packed_mats(wy: int, wx: int, pack: int) -> np.ndarray:
+    """[8, pack*wy, pack*wx] block-diagonal DFT matrices for the packed path.
+
+    Order: forward CXT, SXT, CYT, SYT; inverse (fftshift-folded, rows of the
+    base transform rolled by -w/2) ICXT, ISXT, ICYT, ISYT.
+    """
+    cy, sy = _dft_mats(wy)
+    cx, sx = _dft_mats(wx)
+    eye = np.eye(pack, dtype=np.float32)
+    bd = lambda m: np.kron(eye, m.astype(np.float32))
+    cy_s = np.roll(cy, -(wy // 2), axis=0)
+    sy_s = np.roll(sy, -(wy // 2), axis=0)
+    cx_s = np.roll(cx, -(wx // 2), axis=0)
+    sx_s = np.roll(sx, -(wx // 2), axis=0)
+    return np.stack(
+        [bd(cx.T), bd(sx.T), bd(cy.T), bd(sy.T), bd(cx_s.T), bd(sx_s.T), bd(cy_s.T), bd(sy_s.T)]
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 4, 5, 6))
 def _piv_pairs_fused_jit(imgs, sas, steps, band0, nb, n_cols, interpret):
     wy, wx = sas
@@ -316,11 +426,15 @@ def _piv_pairs_fused_jit(imgs, sas, steps, band0, nb, n_cols, interpret):
     w_img = imgs.shape[-1]
     cy, sy = (jnp.asarray(m) for m in _dft_mats(wy))
     cx, sx = (jnp.asarray(m) for m in _dft_mats(wx))
+    # pack p x p windows per MXU tile when the window is narrower than the
+    # 128-lane MXU (a [64,64] matmul uses a quarter of the array)
+    pack = max(128 // wx, 1) if (wy == wx and 128 % wx == 0) else 1
+    pm = jnp.asarray(_packed_mats(wy, wx, pack))
     frames = imgs.astype(jnp.float32)
     b0_arr = jnp.asarray(band0, dtype=jnp.int32).reshape(1)
 
     kernel = functools.partial(
-        _kernel, wy=wy, wx=wx, step_y=step_y, step_x=step_x, n_rows=nb, n_cols=n_cols
+        _kernel, wy=wy, wx=wx, step_y=step_y, step_x=step_x, n_rows=nb, n_cols=n_cols, pack=pack
     )
     out_shape = [jax.ShapeDtypeStruct((n_pairs, nb, n_cols, 1), jnp.float32) for _ in range(4)]
     out_spec = pl.BlockSpec((1, nb, n_cols, 1), lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM)
@@ -335,6 +449,9 @@ def _piv_pairs_fused_jit(imgs, sas, steps, band0, nb, n_cols, interpret):
             mat_spec(wy),
             mat_spec(wx),
             mat_spec(wx),
+            pl.BlockSpec(
+                (8, pack * wy, pack * wx), lambda p: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=[out_spec] * 4,
         out_shape=out_shape,
@@ -345,5 +462,5 @@ def _piv_pairs_fused_jit(imgs, sas, steps, band0, nb, n_cols, interpret):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(b0_arr, frames, cy, sy, cx, sx)
+    )(b0_arr, frames, cy, sy, cx, sx, pm)
     return u[..., 0], v[..., 0], cmax[..., 0], s2n[..., 0]

@@ -187,25 +187,43 @@ def test_memory_planner():
 
 
 def test_fused_pallas_matches_xla(rng):
-    """The fused Pallas kernel (interpret mode on CPU) matches the XLA pipeline."""
+    """The fused Pallas kernel (interpret mode on CPU) matches the XLA pipeline.
+
+    64x64 windows exercise the packed-MXU path (2x2 windows per tile) plus a
+    non-multiple-of-4 column count for the unpacked remainder path.
+    """
     from pyorc_tpu.ops import piv_pallas
 
-    img_a = make_particle_image(rng, 128, 256)
+    img_a = make_particle_image(rng, 256, 448)
     img_b = shift_image(img_a, 2.0, -1.0)
     imgs = np.stack([img_a, img_b, shift_image(img_a, 4.0, -2.0)]).astype(np.float32)
     h, w = img_a.shape
-    n_rows, n_cols = windows.get_field_shape((h, w), (32, 32), (16, 16))
+    n_rows, n_cols = windows.get_field_shape((h, w), (64, 64), (32, 32))
+    assert n_cols % 4 != 0  # remainder path covered
     u1, v1, c1, s1 = (
-        np.asarray(x) for x in piv.piv_pairs(imgs, (h, w), (32, 32), (16, 16), n_rows, n_cols, None, "matmul")
+        np.asarray(x) for x in piv.piv_pairs(imgs, (h, w), (64, 64), (32, 32), n_rows, n_cols, None, "matmul")
     )
     u2, v2, c2, s2 = (
         np.asarray(x)
-        for x in piv_pallas.piv_pairs_fused(imgs, (h, w), (32, 32), (16, 16), n_rows, n_cols, interpret=True)
+        for x in piv_pallas.piv_pairs_fused(imgs, (h, w), (64, 64), (32, 32), n_rows, n_cols, interpret=True)
     )
     assert np.allclose(u1, u2, atol=1e-4, equal_nan=True)
     assert np.allclose(v1, v2, atol=1e-4, equal_nan=True)
     assert np.allclose(c1, c2, atol=1e-5)
     assert np.allclose(s1, s2, atol=1e-3)
+
+
+def test_fused_small_windows_fall_back(rng):
+    """Sub-64px windows route to the XLA pipeline (identical results)."""
+    from pyorc_tpu.ops import piv_pallas
+
+    img_a = make_particle_image(rng, 96, 128)
+    imgs = np.stack([img_a, shift_image(img_a, 2.0, -1.0)]).astype(np.float32)
+    n_rows, n_cols = windows.get_field_shape((96, 128), (32, 32), (16, 16))
+    out_f = piv_pallas.piv_pairs_fused(imgs, (96, 128), (32, 32), (16, 16), n_rows, n_cols)
+    out_x = piv.piv_pairs(imgs, (96, 128), (32, 32), (16, 16), n_rows, n_cols)
+    for a, b in zip(out_f, out_x):
+        assert np.allclose(np.asarray(a), np.asarray(b), equal_nan=True)
 
 
 def test_multipass_removes_shift_bias(rng):

@@ -294,6 +294,42 @@ class Video:
         self._stabilize = coords
 
     @property
+    def lazy(self):
+        """Lazy (deferred-decode) flag."""
+        return self._lazy
+
+    @lazy.setter
+    def lazy(self, lazy):
+        self._lazy = lazy
+
+    @property
+    def freq(self):
+        """Frame sampling frequency (every freq-th frame)."""
+        return self._freq
+
+    @freq.setter
+    def freq(self, freq=1):
+        self._freq = freq
+
+    @property
+    def progress(self):
+        """Progress-bar flag."""
+        return self._progress
+
+    @progress.setter
+    def progress(self, progress=True):
+        self._progress = progress
+
+    @property
+    def mask(self):
+        """Region mask for stabilization (255 outside the water polygon)."""
+        return self._mask
+
+    @mask.setter
+    def mask(self, mask):
+        self._mask = mask
+
+    @property
     def corners(self):
         """[column, row] image locations of the area of interest (4 corners)."""
         return getattr(self, "_corners", None)

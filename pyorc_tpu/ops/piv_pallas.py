@@ -80,17 +80,18 @@ def _corr_raw_transposed(a, b, cxt, sxt, cyT, syT, icxt, isxt, icyT, isyT):
     """
     T = lambda x: jnp.swapaxes(x, -1, -2)
 
+    def mm(v, m):
+        # batched right-multiply (flattening the batch into rows measured
+        # neutral-to-worse: the reshape relayout cancels the pipeline gain)
+        return jnp.matmul(v, m, preferred_element_type=jnp.float32)
+
     def dft2t(v):
-        p_ = jnp.matmul(v, cxt, preferred_element_type=jnp.float32)
-        q_ = jnp.matmul(v, sxt, preferred_element_type=jnp.float32)
+        p_ = mm(v, cxt)
+        q_ = mm(v, sxt)
         pt = T(p_)
         qt = T(q_)
-        at_re = jnp.matmul(pt, cyT, preferred_element_type=jnp.float32) - jnp.matmul(
-            qt, syT, preferred_element_type=jnp.float32
-        )
-        at_im = jnp.matmul(pt, syT, preferred_element_type=jnp.float32) + jnp.matmul(
-            qt, cyT, preferred_element_type=jnp.float32
-        )
+        at_re = mm(pt, cyT) - mm(qt, syT)
+        at_im = mm(pt, syT) + mm(qt, cyT)
         return at_re, at_im
 
     at_re, at_im = dft2t(a)
@@ -101,16 +102,9 @@ def _corr_raw_transposed(a, b, cxt, sxt, cyT, syT, icxt, isxt, icyT, isyT):
     # inverse: corr = (1/N) Re(conj(Fy) S conj(Fx)^T) with S = T(St)
     st_re_t = T(st_re)
     st_im_t = T(st_im)
-    v_re = jnp.matmul(st_re_t, icxt, preferred_element_type=jnp.float32) + jnp.matmul(
-        st_im_t, isxt, preferred_element_type=jnp.float32
-    )
-    v_im = jnp.matmul(st_im_t, icxt, preferred_element_type=jnp.float32) - jnp.matmul(
-        st_re_t, isxt, preferred_element_type=jnp.float32
-    )
-    return T(
-        jnp.matmul(T(v_re), icyT, preferred_element_type=jnp.float32)
-        + jnp.matmul(T(v_im), isyT, preferred_element_type=jnp.float32)
-    )
+    v_re = mm(st_re_t, icxt) + mm(st_im_t, isxt)
+    v_im = mm(st_im_t, icxt) - mm(st_re_t, isxt)
+    return T(mm(T(v_re), icyT) + mm(T(v_im), isyT))
 
 
 def _pack_windows(w, p, wy, wx):

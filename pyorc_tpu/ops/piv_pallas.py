@@ -458,3 +458,258 @@ def _piv_pairs_fused_jit(imgs, sas, steps, band0, nb, n_cols, interpret):
         interpret=interpret,
     )(b0_arr, frames, cy, sy, cx, sx, pm)
     return u[..., 0], v[..., 0], cmax[..., 0], s2n[..., 0]
+
+
+# -- fused ensemble kernel -----------------------------------------------------
+
+
+def _ens_chunk(band_a, band_b, cy, sy, cxt, sxt, pm, wy, wx, step_x, c0, cnt, pack):
+    """Normalized, clipped, fftshifted corr planes + per-window stats for one
+    column chunk: (corr [cnt, wy, wx], cmax [cnt,1,1], s2n [cnt,1,1])."""
+    a, b, sa, sb, valid = _demean(band_a, band_b, wy, wx, step_x, c0, cnt)
+    g = pack * pack
+    if pack > 1 and cnt % g == 0:
+        a4 = _pack_windows(a, pack, wy, wx)
+        b4 = _pack_windows(b, pack, wy, wx)
+        corr4 = _corr_raw_transposed(
+            a4, b4, pm[0], pm[1], pm[2], pm[3], pm[4], pm[5], pm[6], pm[7]
+        )
+        corr = _unpack_windows(corr4, pack, wy, wx, cnt)
+    else:
+        cyT = jnp.swapaxes(cy, 0, 1)
+        syT = jnp.swapaxes(sy, 0, 1)
+        corr = _corr_raw_transposed(a, b, cxt, sxt, cyT, syT, cxt, sxt, cyT, syT)
+        corr = pltpu.roll(corr, wy // 2, 1)
+        corr = pltpu.roll(corr, wx // 2, 2)
+    n_pix = wy * wx
+    corr = corr / n_pix
+    corr = corr / jnp.maximum(n_pix * sa * sb, 1e-10)
+    corr = jnp.maximum(corr, 0.0)
+    corr = jnp.where(valid, corr, 0.0)
+    cmax = _r2(jnp.max, corr)
+    cmean = _r2(jnp.mean, corr)
+    s2n = cmax / jnp.maximum(cmean, 1e-10)
+    return corr, cmax, s2n
+
+
+_ENS_GROUP = 8  # pairs per grid step (output block sublane constraint)
+
+
+def _ens_kernel(
+    frames_hbm,  # ANY/HBM ref [T, H, W]
+    cy_ref,
+    sy_ref,
+    cx_ref,
+    sx_ref,
+    pm_ref,
+    corr_sum_ref,  # [1, n_cols, wy, wx] block, resident across pair groups
+    count_ref,  # [1, _ENS_GROUP, n_cols] block, resident across pair groups
+    cmax_ref,  # [1, _ENS_GROUP, n_cols] block per (band, group)
+    s2n_ref,
+    bufs,  # VMEM scratch [3, wy, W]: rotating frame-band buffers
+    sems,
+    *,
+    wy: int,
+    wx: int,
+    step_y: int,
+    step_x: int,
+    n_cols: int,
+    n_pairs: int,  # REAL pair count (grid may cover padded groups)
+    corr_min: float,
+    s2n_min: float,
+    pack: int,
+    col_chunk: int,
+):
+    band = pl.program_id(0)
+    grp = pl.program_id(1)
+    n_frames = frames_hbm.shape[0]
+    cy = cy_ref[:]
+    sy = sy_ref[:]
+    cxt = cx_ref[:].T
+    sxt = sx_ref[:].T
+    pm = pm_ref[:] if pack > 1 else None
+
+    def dma(frame_idx):
+        f = jnp.minimum(frame_idx, n_frames - 1)
+        r0 = band * step_y
+        return pltpu.make_async_copy(
+            frames_hbm.at[f, pl.ds(r0, wy), :], bufs.at[frame_idx % 3], sems.at[frame_idx % 3]
+        )
+
+    first_pair = grp * _ENS_GROUP
+
+    # zero the resident accumulators at the start of each band
+    @pl.when(grp == 0)
+    def _():
+        corr_sum_ref[...] = jnp.zeros_like(corr_sum_ref)
+        count_ref[...] = jnp.zeros_like(count_ref)
+        # frame chain restarts per band: frames 0 and 1
+        dma(first_pair).start()
+        dma(first_pair + 1).start()
+
+    n_groups = pl.num_programs(1)
+    for i in range(_ENS_GROUP):
+        pair = first_pair + i
+
+        # prefetch two frames ahead (clamped reads are harmless), but never
+        # start a copy that no later pair will wait on — an un-waited DMA
+        # corrupts the semaphore chain for the next band
+        @pl.when(pair + 2 <= n_groups * _ENS_GROUP)
+        def _():
+            dma(pair + 2).start()
+
+        @pl.when(jnp.logical_and(grp == 0, i == 0))
+        def _():
+            dma(pair).wait()
+
+        dma(pair + 1).wait()
+        pair_ok = (pair < n_pairs).astype(jnp.float32)
+        band_a = bufs[pair % 3]
+        band_b = bufs[(pair + 1) % 3]
+        for c0 in range(0, n_cols, col_chunk):
+            cnt = min(col_chunk, n_cols - c0)
+            corr, cmax, s2n = _ens_chunk(
+                band_a, band_b, cy, sy, cxt, sxt, pm, wy, wx, step_x, c0, cnt, pack
+            )
+            ok = (
+                (cmax >= corr_min).astype(jnp.float32)
+                * (s2n >= s2n_min).astype(jnp.float32)
+                * pair_ok
+            )  # [cnt,1,1]
+            corr_sum_ref[0, c0 : c0 + cnt] += ok * corr
+            # transpose (ok, cmax*ok, s2n*ok) rows via one MXU dot_general
+            sq = lambda x: jax.lax.squeeze(x, (2,))
+            res = jnp.concatenate([sq(ok), sq(ok * cmax), sq(ok * s2n)], axis=1)  # [cnt, 3]
+            eye = (
+                jax.lax.broadcasted_iota(jnp.int32, (cnt, cnt), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (cnt, cnt), 1)
+            ).astype(jnp.float32)
+            res_t = jax.lax.dot_general(
+                res, eye, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [3, cnt]
+            count_ref[0, i : i + 1, c0 : c0 + cnt] += res_t[0:1]
+            cmax_ref[0, i : i + 1, c0 : c0 + cnt] = res_t[1:2]
+            s2n_ref[0, i : i + 1, c0 : c0 + cnt] = res_t[2:3]
+
+
+def piv_ensemble_fused(
+    imgs,
+    dim_size: Tuple[int, int],
+    sas: Tuple[int, int],
+    overlap: Tuple[int, int],
+    n_rows: int,
+    n_cols: int,
+    corr_min: float = 0.2,
+    s2n_min: float = 3.0,
+    signal_threshold: Optional[float] = None,
+    interpret: bool = False,
+):
+    """Fused ensemble PIV: corr-sum/count accumulate IN VMEM across the pair
+    axis (the output block is resident across the inner grid dimension, the
+    standard reduction pattern), so neither the window stack nor per-pair
+    correlation planes ever reach HBM. Returns the `piv_ensemble_scan`
+    contract: (corr_sum [n_windows, wy, wx], corr_count [n_windows],
+    corr_max [n_pairs, n_rows, n_cols], s2n [n_pairs, n_rows, n_cols]).
+    """
+    from . import piv as piv_ops
+
+    wy, wx = sas
+    row0, col0 = win.get_window_starts(dim_size, sas, overlap)
+    step_y = piv_ops._strided_axis_starts(np.asarray(row0), wy)
+    step_x = piv_ops._strided_axis_starts(np.asarray(col0), wx)
+    aligned = (
+        step_y is not None
+        and step_x is not None
+        and step_y % 8 == 0
+        and step_x % 8 == 0
+        and wy % 8 == 0
+        and wx % 8 == 0
+        and min(wy, wx) >= 64
+    )
+    if not aligned or signal_threshold is not None:
+        return piv_ops.piv_ensemble_scan(
+            imgs, dim_size, sas, overlap, n_rows, n_cols, corr_min, s2n_min, signal_threshold
+        )
+    try:
+        return _piv_ensemble_fused_jit(
+            jnp.asarray(imgs), (wy, wx), (step_y, step_x), n_rows, n_cols,
+            float(corr_min), float(s2n_min), bool(interpret),
+        )
+    except Exception as e:
+        if "Mosaic" not in str(e) and "vmem" not in str(e).lower():
+            raise
+        import warnings
+
+        warnings.warn(
+            f"Fused ensemble kernel failed to compile ({e}); falling back to the XLA scan.",
+            stacklevel=2,
+        )
+        return piv_ops.piv_ensemble_scan(
+            imgs, dim_size, sas, overlap, n_rows, n_cols, corr_min, s2n_min, signal_threshold
+        )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+def _piv_ensemble_fused_jit(imgs, sas, steps, n_rows, n_cols, corr_min, s2n_min, interpret):
+    wy, wx = sas
+    step_y, step_x = steps
+    n_pairs = imgs.shape[0] - 1
+    w_img = imgs.shape[-1]
+    n_groups = -(-n_pairs // _ENS_GROUP)
+    cy, sy = (jnp.asarray(m) for m in _dft_mats(wy))
+    cx, sx = (jnp.asarray(m) for m in _dft_mats(wx))
+    pack = max(128 // wx, 1) if (wy == wx and 128 % wx == 0) else 1
+    pm = jnp.asarray(_packed_mats(wy, wx, pack))
+    frames = imgs.astype(jnp.float32)
+
+    # VMEM budget for per-chunk temporaries: the resident corr-sum block,
+    # the 3 rotating band buffers and the matrix stack all live alongside
+    # them (measured ~500KB of temporaries per chunk column at 64px)
+    resident = n_cols * wy * wx * 4 + 3 * wy * w_img * 4 + (8 * 128 * 128 * 4) + (1 << 20)
+    budget = (15 << 20) - resident
+    g = pack * pack
+    col_chunk = min(24, max(int(budget // (500 << 10)), 4))
+    col_chunk = max((col_chunk // g) * g, min(g, n_cols)) if g > 1 else col_chunk
+    kernel = functools.partial(
+        _ens_kernel, wy=wy, wx=wx, step_y=step_y, step_x=step_x, n_cols=n_cols,
+        n_pairs=n_pairs, corr_min=corr_min, s2n_min=s2n_min, pack=pack,
+        col_chunk=col_chunk,
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((n_rows, n_cols, wy, wx), jnp.float32),  # corr_sum
+        jax.ShapeDtypeStruct((n_rows, _ENS_GROUP, n_cols), jnp.float32),  # count rows
+        jax.ShapeDtypeStruct((n_rows, n_groups * _ENS_GROUP, n_cols), jnp.float32),  # cmax
+        jax.ShapeDtypeStruct((n_rows, n_groups * _ENS_GROUP, n_cols), jnp.float32),  # s2n
+    ]
+    mat_spec = lambda n: pl.BlockSpec((n, n), lambda b, g: (0, 0), memory_space=pltpu.VMEM)
+    corr_sum, count_rows, cmax, s2n = pl.pallas_call(
+        kernel,
+        grid=(n_rows, n_groups),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            mat_spec(wy),
+            mat_spec(wy),
+            mat_spec(wx),
+            mat_spec(wx),
+            pl.BlockSpec(
+                (8, pack * wy, pack * wx), lambda b, g: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_cols, wy, wx), lambda b, g: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _ENS_GROUP, n_cols), lambda b, g: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _ENS_GROUP, n_cols), lambda b, g: (b, g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _ENS_GROUP, n_cols), lambda b, g: (b, g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((3, wy, w_img), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(frames, cy, sy, cx, sx, pm)
+    corr_sum = corr_sum.reshape(n_rows * n_cols, wy, wx)
+    corr_count = count_rows.sum(axis=1).reshape(n_rows * n_cols)
+    cmax = jnp.moveaxis(cmax, 1, 0)[:n_pairs]  # [n_pairs, n_rows, n_cols]
+    s2n = jnp.moveaxis(s2n, 1, 0)[:n_pairs]
+    return corr_sum, corr_count, cmax, s2n

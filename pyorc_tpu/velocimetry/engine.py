@@ -249,6 +249,7 @@ def _piv_ensemble(
     n_pairs_total = data.shape[0] - 1
     pbar = tqdm(total=n_pairs_total, desc="PIV (ensemble)", position=0, leave=True)
     use_sharded = _shard_enabled()
+    use_fused = jax.default_backend() not in ("cpu",)
     for start, chunk in _iter_chunks(data, chunksize):
         if use_sharded:
             from .. import parallel
@@ -256,6 +257,13 @@ def _piv_ensemble(
             cs, cc, cmax, s2n = parallel.piv_ensemble_sharded(
                 np.asarray(chunk), sas, ov, sas,
                 corr_min=corr_min, s2n_min=s2n_min, signal_threshold=signal_threshold,
+            )
+        elif use_fused:
+            from ..ops import piv_pallas
+
+            cs, cc, cmax, s2n = piv_pallas.piv_ensemble_fused(
+                jax.device_put(np.asarray(chunk)), dim_size, sas, ov, n_rows, n_cols,
+                corr_min, s2n_min, signal_threshold,
             )
         else:
             cs, cc, cmax, s2n = piv_ops.piv_ensemble_scan(

@@ -330,3 +330,36 @@ def test_oom_backoff_reraises_non_oom(rng):
 
     with pytest.raises(RuntimeError, match="something else"):
         engine._run_chunk_oom_backoff(bad, np.zeros((8, 4, 4), np.float32))
+
+
+def test_fused_ensemble_matches_scan(rng):
+    """The fused ensemble kernel (interpret mode) matches piv_ensemble_scan,
+    including threshold filtering and pair-group padding (10 pairs = 8 + 2)."""
+    from pyorc_tpu.ops import piv_pallas
+
+    img = make_particle_image(rng, 256, 448)
+    frames = np.stack([shift_image(img, 2.0 * t, -t) for t in range(11)]).astype(np.float32)
+    h, w = img.shape
+    n_rows, n_cols = windows.get_field_shape((h, w), (64, 64), (32, 32))
+    ref = piv.piv_ensemble_scan(
+        frames, (h, w), (64, 64), (32, 32), n_rows, n_cols, corr_min=0.1, s2n_min=1.5
+    )
+    out = piv_pallas.piv_ensemble_fused(
+        frames, (h, w), (64, 64), (32, 32), n_rows, n_cols, corr_min=0.1, s2n_min=1.5, interpret=True
+    )
+    for name, a, b in zip(("corr_sum", "count", "cmax", "s2n"), ref, out):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape, name
+        assert np.allclose(a, b, atol=2e-3, equal_nan=True), name
+
+
+def test_fused_ensemble_small_windows_fall_back(rng):
+    from pyorc_tpu.ops import piv_pallas
+
+    img = make_particle_image(rng, 96, 128)
+    frames = np.stack([shift_image(img, t, 0) for t in range(4)]).astype(np.float32)
+    n_rows, n_cols = windows.get_field_shape((96, 128), (32, 32), (16, 16))
+    ref = piv.piv_ensemble_scan(frames, (96, 128), (32, 32), (16, 16), n_rows, n_cols)
+    out = piv_pallas.piv_ensemble_fused(frames, (96, 128), (32, 32), (16, 16), n_rows, n_cols)
+    for a, b in zip(ref, out):
+        assert np.allclose(np.asarray(a), np.asarray(b), equal_nan=True)

@@ -424,6 +424,12 @@ def _piv_pairs_fused_jit(imgs, sas, steps, band0, nb, n_cols, interpret):
     # 128-lane MXU (a [64,64] matmul uses a quarter of the array)
     pack = max(128 // wx, 1) if (wy == wx and 128 % wx == 0) else 1
     pm = jnp.asarray(_packed_mats(wy, wx, pack))
+    # the band DMA requires the lane (width) extent be a multiple of the
+    # 128-lane tiling; pad on the host (windows never read the padding)
+    if w_img % 128:
+        pad = 128 - w_img % 128
+        imgs = jnp.pad(imgs, ((0, 0), (0, 0), (0, pad)))
+        w_img = imgs.shape[-1]
     frames = imgs.astype(jnp.float32)
     b0_arr = jnp.asarray(band0, dtype=jnp.int32).reshape(1)
 
@@ -660,6 +666,12 @@ def _piv_ensemble_fused_jit(imgs, sas, steps, n_rows, n_cols, corr_min, s2n_min,
     cx, sx = (jnp.asarray(m) for m in _dft_mats(wx))
     pack = max(128 // wx, 1) if (wy == wx and 128 % wx == 0) else 1
     pm = jnp.asarray(_packed_mats(wy, wx, pack))
+    # the band DMA requires the lane (width) extent be a multiple of the
+    # 128-lane tiling; pad on the host (windows never read the padding)
+    if w_img % 128:
+        pad = 128 - w_img % 128
+        imgs = jnp.pad(imgs, ((0, 0), (0, 0), (0, pad)))
+        w_img = imgs.shape[-1]
     frames = imgs.astype(jnp.float32)
 
     # VMEM budget for per-chunk temporaries: the resident corr-sum block,

@@ -15,7 +15,9 @@ import functools
 import json
 import logging
 import os.path
+import shutil
 import subprocess
+import sys
 from typing import Dict, Optional
 
 import click
@@ -567,7 +569,12 @@ def velocity_flow_subprocess(
     with open(fn_recipe, "w") as f:
         yaml.dump(recipe, f, default_flow_style=False, sort_keys=False)
     CameraConfig(**_parse_camconfig_dict(cameraconfig)).to_file(fn_cam_config)
-    cmd = ["pyorc-tpu", "velocimetry", "-V", videofile, "-c", fn_cam_config, "-r", fn_recipe]
+    if shutil.which("pyorc-tpu"):
+        launcher = ["pyorc-tpu"]
+    else:
+        # entry point not installed (e.g. running from a source checkout)
+        launcher = [sys.executable, "-m", "pyorc_tpu.cli.main"]
+    cmd = launcher + ["velocimetry", "-V", videofile, "-c", fn_cam_config, "-r", fn_recipe]
     if h_a is not None:
         cmd += ["-h", str(h_a)]
     if cross is not None:

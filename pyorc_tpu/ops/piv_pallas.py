@@ -36,16 +36,19 @@ from .piv import _dft_mats
 __all__ = ["piv_pairs_fused"]
 
 
-def _band_windows(band, c0, cnt, wx, step_x):
+def _band_windows(band, c0, cnt, wx, step_x, n_cols):
     """[wy, W] band -> [cnt, wy, wx] windows for columns [c0, c0+cnt).
 
     Static lane-dimension slices + stack: Mosaic cannot split the lane
-    dimension via reshape, but aligned lane slices lower cleanly.
+    dimension via reshape, but static lane slices lower cleanly (verified on
+    v5e for arbitrary — including odd — offsets and widths). Columns beyond
+    ``n_cols`` clamp to the last window: callers pad chunk counts up to the
+    MXU packing group and discard the duplicate results on store.
     """
-    wins = [
-        jax.lax.slice_in_dim(band, (c0 + c) * step_x, (c0 + c) * step_x + wx, axis=1)[None]
-        for c in range(cnt)
-    ]
+    wins = []
+    for c in range(cnt):
+        j = min(c0 + c, n_cols - 1)
+        wins.append(jax.lax.slice_in_dim(band, j * step_x, j * step_x + wx, axis=1)[None])
     return jnp.concatenate(wins, axis=0)
 
 
@@ -55,10 +58,10 @@ def _r2(op, x):
     return op(op(x, axis=-1, keepdims=True), axis=-2, keepdims=True)
 
 
-def _demean(band_a, band_b, wy, wx, step_x, c0, cnt):
+def _demean(band_a, band_b, wy, wx, step_x, c0, cnt, n_cols):
     """Build + demean window chunks; returns (a, b, sa, sb, valid)."""
-    wa = _band_windows(band_a, c0, cnt, wx, step_x).astype(jnp.float32)
-    wb = _band_windows(band_b, c0, cnt, wx, step_x).astype(jnp.float32)
+    wa = _band_windows(band_a, c0, cnt, wx, step_x, n_cols).astype(jnp.float32)
+    wb = _band_windows(band_b, c0, cnt, wx, step_x, n_cols).astype(jnp.float32)
     a = wa - _r2(jnp.mean, wa)
     b = wb - _r2(jnp.mean, wb)
     sa = jnp.sqrt(_r2(jnp.mean, a * a))  # [cnt,1,1]
@@ -133,13 +136,13 @@ def _unpack_windows(c4, p, wy, wx, cnt):
     return jnp.concatenate(quads, axis=0)
 
 
-def _band_results(band_a, band_b, cy, sy, cxt, sxt, wy, wx, step_x, c0, cnt):
+def _band_results(band_a, band_b, cy, sy, cxt, sxt, wy, wx, step_x, c0, cnt, n_cols):
     """Correlate windows [c0, c0+cnt) of one row band; returns (u, v, cmax, s2n) [cnt, 1].
 
     NB: every intermediate stays rank>=2 (keepdims reductions) — Mosaic's
     vector layout inference rejects rank-1 values.
     """
-    a, b, sa, sb, valid = _demean(band_a, band_b, wy, wx, step_x, c0, cnt)
+    a, b, sa, sb, valid = _demean(band_a, band_b, wy, wx, step_x, c0, cnt, n_cols)
     cyT = jnp.swapaxes(cy, 0, 1)
     syT = jnp.swapaxes(sy, 0, 1)
     corr = _corr_raw_transposed(a, b, cxt, sxt, cyT, syT, cxt, sxt, cyT, syT)
@@ -149,13 +152,14 @@ def _band_results(band_a, band_b, cy, sy, cxt, sxt, wy, wx, step_x, c0, cnt):
     return _finish_corr(corr, sa, sb, valid, wy, wx)
 
 
-def _band_results_packed(band_a, band_b, pm, wy, wx, step_x, c0, cnt, p):
+def _band_results_packed(band_a, band_b, pm, wy, wx, step_x, c0, cnt, p, n_cols):
     """Packed-MXU variant: p x p windows share each [p*wy, p*wx] tile, so the
-    DFT matmuls run at full 128-lane width (a [64,64] matmul only uses a
-    quarter of the MXU). The fftshift is folded into row-rolled inverse
-    matrices; per-window stats unpack via static slices afterwards.
+    DFT matmuls run at (up to) full 128-lane width (a [64,64] matmul only uses
+    a quarter of the MXU; a [16,16] one 1/64th). The fftshift is folded into
+    row-rolled inverse matrices; per-window stats unpack via static slices
+    afterwards. ``cnt`` must be a multiple of p*p (callers clamp-pad).
     """
-    a, b, sa, sb, valid = _demean(band_a, band_b, wy, wx, step_x, c0, cnt)
+    a, b, sa, sb, valid = _demean(band_a, band_b, wy, wx, step_x, c0, cnt, n_cols)
     a4 = _pack_windows(a, p, wy, wx)
     b4 = _pack_windows(b, p, wy, wx)
     corr4 = _corr_raw_transposed(
@@ -213,11 +217,29 @@ def _finish_corr(corr, sa, sb, valid, wy, wx):
     dy = jnp.clip(dy, -1.0, 1.0)
     u = (ixc + dx) - wx // 2
     v = -((iyc + dy) - wy // 2)
-    u = jnp.where(valid, u, jnp.nan)
-    v = jnp.where(valid, v, jnp.nan)
+    # u/v stay FINITE here (invalid windows are NaN'd by the caller after the
+    # lane-transpose: a NaN entering the transpose matmul would poison the
+    # whole row through 0 * NaN contributions)
     # [n_cols, 1, 1] -> [n_cols, 1] (rank stays >= 2)
     sq = lambda x: jax.lax.squeeze(x, (2,))
-    return sq(u), sq(v), sq(cmax), sq(s2n)
+    return sq(u), sq(v), sq(cmax), sq(s2n), sq(valid.astype(jnp.float32))
+
+
+def _chunk_plan(n_cols: int, wy: int, wx: int, pack: int):
+    """(col_chunk, temp_bytes): windows per call and the VMEM they cost.
+
+    The live set per in-flight window is ~7 lane-padded [wy, wx] temporaries
+    (inputs, spectra, product, correlation plane — measured against the
+    compiler's scoped-vmem accounting at 64 px and the 26 px overflow).
+    Budget ~6MB of temporaries; more windows per call amortize MXU latency,
+    fewer keep strips (and so the resident output blocks) larger.
+    """
+    g = pack * pack
+    per_win = 8 * (-(-wy // 8) * 8) * 128 * 4
+    cols = max(int((9 << 20) // per_win), 1)
+    cols = max(cols // g * g, g) if g > 1 else min(cols, 24)
+    cols = min(cols, -(-n_cols // g) * g if g > 1 else n_cols)
+    return cols, cols * per_win
 
 
 def _kernel(
@@ -232,7 +254,7 @@ def _kernel(
     v_ref,
     cmax_ref,
     s2n_ref,
-    band_a,  # VMEM scratch [2, wy, W] (double buffer)
+    band_a,  # VMEM scratch [2, band_h, W] (double buffer)
     band_b,
     sem_a,
     sem_b,
@@ -244,6 +266,8 @@ def _kernel(
     n_rows: int,  # bands processed by THIS launch (strip height)
     n_cols: int,
     pack: int,  # windows packed per MXU-tile axis (1 = packing disabled)
+    band_h: int,  # DMA height: wy (+ alignment slack for odd step_y), round8
+    col_chunk: int,
 ):
     pair = pl.program_id(0)
     band0 = b0_ref[0]
@@ -252,19 +276,34 @@ def _kernel(
     cxt = cx_ref[:].T
     sxt = sx_ref[:].T
     pm = pm_ref[:] if pack > 1 else None
+    aligned = step_y % 8 == 0
+
+    # Odd step_y (e.g. the 26/13 grid from window_size 25): the DMA starts at
+    # the aligned-down row 8*floor(r0/8) — provably divisible by the 8-sublane
+    # tiling — and the band is rotated into place in VMEM (dynamic-shift
+    # roll); Mosaic rejects unaligned HBM DMAs and dynamic sublane slices.
+    def row0(band_idx):
+        r0 = (band0 + band_idx) * step_y
+        return r0, (r0 if aligned else 8 * (r0 // 8))
 
     def get_dma(slot, band_idx):
-        # (band0 + idx) * step_y keeps the row offset provably divisible by
-        # the sublane tiling (step_y is a multiple of 8 in the fast path)
-        r0 = (band0 + band_idx) * step_y
+        _, r0a = row0(band_idx)
         return (
-            pltpu.make_async_copy(frames_hbm.at[pair, pl.ds(r0, wy), :], band_a.at[slot], sem_a.at[slot]),
-            pltpu.make_async_copy(frames_hbm.at[pair + 1, pl.ds(r0, wy), :], band_b.at[slot], sem_b.at[slot]),
+            pltpu.make_async_copy(frames_hbm.at[pair, pl.ds(r0a, band_h), :], band_a.at[slot], sem_a.at[slot]),
+            pltpu.make_async_copy(frames_hbm.at[pair + 1, pl.ds(r0a, band_h), :], band_b.at[slot], sem_b.at[slot]),
         )
+
+    def extract_band(buf, band_idx):
+        if aligned:
+            return jax.lax.slice_in_dim(buf, 0, wy, axis=0)
+        r0, r0a = row0(band_idx)
+        rolled = pltpu.roll(buf, band_h - (r0 - r0a), 0)
+        return jax.lax.slice_in_dim(rolled, 0, wy, axis=0)
 
     da0, db0 = get_dma(0, 0)
     da0.start()
     db0.start()
+    g = pack * pack
 
     def loop_body(band_idx, _):
         slot = band_idx % 2
@@ -279,38 +318,44 @@ def _kernel(
         da, db = get_dma(slot, band_idx)
         da.wait()
         db.wait()
-        # process the band's windows in column chunks to bound VMEM pressure;
-        # g-multiples run the packed-MXU path, remainders the plain path.
-        # Smaller windows allow (and need) proportionally more per chunk:
-        # one packed tile per call leaves the MXU latency-bound.
-        g = pack * pack
-        base_chunk = max(24 * (64 // wx) ** 2, 24) if wx <= 64 else 24
-        col_chunk = base_chunk if g <= 4 else max((base_chunk // g), 1) * g
+        ba = extract_band(band_a[slot], band_idx)
+        bb = extract_band(band_b[slot], band_idx)
+        row_parts = []
         for c0 in range(0, n_cols, col_chunk):
             cnt = min(col_chunk, n_cols - c0)
-            n_packed = (cnt // g) * g if pack > 1 else 0
-            parts = []
-            if n_packed:
-                parts.append(
-                    _band_results_packed(
-                        band_a[slot], band_b[slot], pm, wy, wx, step_x, c0, n_packed, pack
-                    )
+            if pack > 1:
+                # clamp-pad up to the packing group; duplicates discarded below
+                cnt_pad = -(-cnt // g) * g
+                u, v, cmax, s2n, validf = _band_results_packed(
+                    ba, bb, pm, wy, wx, step_x, c0, cnt_pad, pack, n_cols
                 )
-            if cnt - n_packed:
-                parts.append(
-                    _band_results(
-                        band_a[slot], band_b[slot], cy, sy, cxt, sxt, wy, wx, step_x,
-                        c0 + n_packed, cnt - n_packed,
-                    )
-                )
-            if len(parts) == 2:
-                u, v, cmax, s2n = (jnp.concatenate([x, y], axis=0) for x, y in zip(*parts))
             else:
-                u, v, cmax, s2n = parts[0]
-            u_ref[0, band_idx, c0 : c0 + cnt, :] = u
-            v_ref[0, band_idx, c0 : c0 + cnt, :] = v
-            cmax_ref[0, band_idx, c0 : c0 + cnt, :] = cmax
-            s2n_ref[0, band_idx, c0 : c0 + cnt, :] = s2n
+                cnt_pad = cnt
+                u, v, cmax, s2n, validf = _band_results(
+                    ba, bb, cy, sy, cxt, sxt, wy, wx, step_x, c0, cnt, n_cols
+                )
+            # transpose the [cnt, 5] result columns onto lanes with one MXU
+            # dot (outputs keep n_cols on the 128-lane axis: a [.., n_cols, 1]
+            # layout would pad every band's results to 128 lanes)
+            res = jnp.concatenate([u, v, cmax, s2n, validf], axis=1)  # [cnt_pad, 5]
+            eye = (
+                jax.lax.broadcasted_iota(jnp.int32, (cnt_pad, cnt_pad), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (cnt_pad, cnt_pad), 1)
+            ).astype(jnp.float32)
+            res_t = jax.lax.dot_general(
+                res, eye, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [5, cnt_pad]
+            row_parts.append(res_t[:, 0:cnt] if cnt_pad != cnt else res_t)
+        # dynamic-sublane stores must span the block's full lane extent
+        # (partial-width stores into multi-lane-tile rows are rejected), so
+        # assemble the whole band row as a value and store it once per output
+        row = row_parts[0] if len(row_parts) == 1 else jnp.concatenate(row_parts, axis=1)
+        ok = row[4:5] > 0.5
+        b = pl.ds(band_idx, 1)
+        u_ref[0, b, :] = jnp.where(ok, row[0:1], jnp.nan)
+        v_ref[0, b, :] = jnp.where(ok, row[1:2], jnp.nan)
+        cmax_ref[0, b, :] = row[2:3]
+        s2n_ref[0, b, :] = row[3:4]
         return 0
 
     jax.lax.fori_loop(0, n_rows, loop_body, 0)
@@ -337,52 +382,92 @@ def piv_pairs_fused(
     row0, col0 = win.get_window_starts(dim_size, sas, overlap)
     step_y = piv_ops._strided_axis_starts(np.asarray(row0), wy)
     step_x = piv_ops._strided_axis_starts(np.asarray(col0), wx)
-    # Mosaic constraints: band DMA offsets (band * step_y) must be provably
-    # divisible by the 8-sublane tiling, and odd window/step geometry (e.g.
-    # the 26/13 grid from window_size 25) hits unaligned-slice lowering
-    # failures. Small windows (< 64 px) also run the XLA pipeline: their
-    # tiles waste most of the 128-lane VPU/MXU width in the band-resident
-    # kernel (measured 4.9 pairs/s fused vs 125 XLA at 32 px on 1080p),
-    # while XLA's globally-batched form stays ~115-125 pairs/s.
-    aligned = (
-        step_y is not None
-        and step_x is not None
-        and step_y % 8 == 0
-        and step_x % 8 == 0
-        and wy % 8 == 0
-        and wx % 8 == 0
-        and min(wy, wx) >= 64
-    )
-    if not aligned or signal_threshold is not None:
+    if not _fused_geometry_ok(wy, wx, step_y, step_x) or signal_threshold is not None:
         return piv_ops.piv_pairs(imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold)
+    pack, band_h = _fused_plan(wy, wx, step_y)
     # strip planning: the per-pair output blocks live in VMEM for the whole
-    # program ([1, nb, n_cols, 1] is tile-padded to nb * pad8(n_cols) * 128
-    # floats PER OUTPUT), so tall/wide configurations (e.g. 4K frames) must
-    # split the band range over several launches to stay under the 16MB
-    # scoped-VMEM limit. 1080p-class configs keep a single launch.
-    band_scratch = 4 * wy * imgs.shape[-1] * 4
-    per_band = (-(-n_cols // 8) * 8) * 128 * 4 * 4
-    # reserve: per-chunk temporaries (~3MB) + the packed DFT matrix stack
-    reserve = (3 << 20) + 8 * 128 * 128 * 4
-    nb_max = max(int(((14 << 20) - band_scratch - reserve) // per_band), 4)
-    try:
-        return _piv_pairs_fused_strips(
-            jnp.asarray(imgs), (wy, wx), (step_y, step_x), n_rows, n_cols, nb_max, bool(interpret)
-        )
-    except Exception as e:  # Mosaic lowering rejections surface at run time
-        if "Mosaic" not in str(e) and "vmem" not in str(e).lower():
-            raise
-        import warnings
+    # program. With n_cols on the lane axis a [1, nb, n_cols] block costs
+    # pad8(nb) * pad128(n_cols) * 4 bytes per output — every realistic config
+    # (incl. 4K at 16 px) fits one launch; the strip split survives as a
+    # safety net for degenerate geometries.
+    band_scratch = 4 * band_h * (-(-imgs.shape[-1] // 128) * 128) * 4
+    per_band = (-(-n_cols // 128) * 128) * 4 * 4  # 4 outputs, 1/8 sublane tile amortized
+    _, temp_bytes = _chunk_plan(n_cols, wy, wx, pack)
+    reserve = temp_bytes + 8 * (pack * wy) * (-(-(pack * wx) // 128) * 128) * 4
+    nb_max = max(int(((12 << 20) + (512 << 10) - band_scratch - reserve) // per_band), 4)
+    imgs = jnp.asarray(imgs)
+    last_err = None
+    while nb_max >= 4:
+        try:
+            return _piv_pairs_fused_strips(
+                imgs, (wy, wx), (step_y, step_x), n_rows, n_cols, nb_max, bool(interpret)
+            )
+        except Exception as e:
+            last_err = e
+            # the compiler's scoped-vmem accounting beats any host-side model;
+            # on overflow retry with half the bands per launch
+            if "vmem" in str(e).lower() and nb_max > 4:
+                nb_max = max(nb_max // 2, 4)
+                continue
+            break
+    # Any other Pallas/Mosaic failure (lowering rejection, a renamed compiler
+    # error class...) degrades to the slower-but-correct XLA pipeline with an
+    # observable warning rather than a hard failure.
+    import warnings
 
-        warnings.warn(
-            f"Fused PIV kernel failed to compile for this configuration ({e}); "
-            "falling back to the XLA pipeline.",
-            stacklevel=2,
-        )
-        return piv_ops.piv_pairs(imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold)
+    warnings.warn(
+        f"Fused PIV kernel failed for this configuration ({last_err}); "
+        "falling back to the XLA pipeline.",
+        stacklevel=2,
+    )
+    return piv_ops.piv_pairs(imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold)
+
+
+def _fused_geometry_ok(wy, wx, step_y, step_x) -> bool:
+    """Window grids the fused kernels can run.
+
+    Uniform strided grids only. Square windows up to 128 px run the packed-MXU
+    path at ANY alignment (odd steps use super-band DMA + static unaligned
+    VMEM slices — e.g. the reference's window_size-25 -> 26/13 grid,
+    /root/reference/examples/ngwerere/ngwerere.yml:16). Non-square windows
+    need the legacy 8-aligned >= 64 px layout.
+    """
+    if step_y is None or step_x is None:
+        return False
+    if wy == wx and 8 <= wx <= 128:
+        return True
+    return (
+        step_y % 8 == 0 and step_x % 8 == 0 and wy % 8 == 0 and wx % 8 == 0 and min(wy, wx) >= 64
+    )
+
+
+def _fused_plan(wy: int, wx: int, step_y: int):
+    """(pack, band_h) for the fused kernels.
+
+    pack: windows per MXU-tile axis (tile = pack*wy x pack*wx, <= 128 lanes).
+    band_h: per-band DMA height — the window height rounded to the 8-sublane
+    tiling, plus up to 7 rows of alignment slack when the band row offset is
+    not 8-divisible (the DMA then starts at the aligned-down row and the band
+    is rotated into place in VMEM).
+    """
+    pack = max(128 // wx, 1) if wy == wx else 1
+    slack = 0 if step_y % 8 == 0 else 7
+    band_h = -(-(wy + slack) // 8) * 8
+    return pack, band_h
 
 
 def _piv_pairs_fused_strips(imgs, sas, steps, n_rows, n_cols, nb_max, interpret):
+    # pad ONCE, globally: the band DMA needs the lane (width) extent to be a
+    # multiple of the 128-lane tiling, and the last band's buffer may read
+    # past the frame bottom. Real windows never read the padding.
+    wy, wx = sas
+    step_y, _ = steps
+    _, band_h = _fused_plan(wy, wx, step_y)
+    rows_needed = (n_rows - 1) * step_y + band_h
+    pad_w = (-imgs.shape[-1]) % 128
+    pad_h = max(rows_needed - imgs.shape[-2], 0)
+    if pad_w or pad_h:
+        imgs = jnp.pad(imgs, ((0, 0), (0, pad_h), (0, pad_w)))
     if n_rows <= nb_max:
         return _piv_pairs_fused_jit(imgs, sas, steps, 0, n_rows, n_cols, interpret)
     outs = []
@@ -417,34 +502,30 @@ def _piv_pairs_fused_jit(imgs, sas, steps, band0, nb, n_cols, interpret):
     step_y, step_x = steps
     t = imgs.shape[0]
     n_pairs = t - 1
-    w_img = imgs.shape[-1]
+    pack, band_h = _fused_plan(wy, wx, step_y)
+    col_chunk, _ = _chunk_plan(n_cols, wy, wx, pack)
     cy, sy = (jnp.asarray(m) for m in _dft_mats(wy))
     cx, sx = (jnp.asarray(m) for m in _dft_mats(wx))
-    # pack p x p windows per MXU tile when the window is narrower than the
-    # 128-lane MXU (a [64,64] matmul uses a quarter of the array)
-    pack = max(128 // wx, 1) if (wy == wx and 128 % wx == 0) else 1
     pm = jnp.asarray(_packed_mats(wy, wx, pack))
-    # the band DMA requires the lane (width) extent be a multiple of the
-    # 128-lane tiling; pad on the host (windows never read the padding)
-    if w_img % 128:
-        pad = 128 - w_img % 128
-        imgs = jnp.pad(imgs, ((0, 0), (0, 0), (0, pad)))
-        w_img = imgs.shape[-1]
+    # frames arrive pre-padded from _piv_pairs_fused_strips (width to the
+    # 128-lane tiling, height to cover the last band's buffer)
+    w_img = imgs.shape[-1]
     frames = imgs.astype(jnp.float32)
-    b0_arr = jnp.asarray(band0, dtype=jnp.int32).reshape(1)
+    sb0_arr = jnp.asarray(band0, dtype=jnp.int32).reshape(1)
 
     kernel = functools.partial(
-        _kernel, wy=wy, wx=wx, step_y=step_y, step_x=step_x, n_rows=nb, n_cols=n_cols, pack=pack
+        _kernel, wy=wy, wx=wx, step_y=step_y, step_x=step_x, n_rows=nb, n_cols=n_cols,
+        pack=pack, band_h=band_h, col_chunk=col_chunk,
     )
-    out_shape = [jax.ShapeDtypeStruct((n_pairs, nb, n_cols, 1), jnp.float32) for _ in range(4)]
-    out_spec = pl.BlockSpec((1, nb, n_cols, 1), lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((n_pairs, nb, n_cols), jnp.float32) for _ in range(4)]
+    out_spec = pl.BlockSpec((1, nb, n_cols), lambda p: (p, 0, 0), memory_space=pltpu.VMEM)
     mat_spec = lambda n: pl.BlockSpec((n, n), lambda p: (0, 0), memory_space=pltpu.VMEM)
     u, v, cmax, s2n = pl.pallas_call(
         kernel,
         grid=(n_pairs,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # strip band offset (scalar)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # frames stay in HBM; DMA'd per band
+            pl.BlockSpec(memory_space=pl.ANY),  # frames stay in HBM; DMA'd per band
             mat_spec(wy),
             mat_spec(wy),
             mat_spec(wx),
@@ -456,25 +537,26 @@ def _piv_pairs_fused_jit(imgs, sas, steps, band0, nb, n_cols, interpret):
         out_specs=[out_spec] * 4,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, wy, w_img), jnp.float32),
-            pltpu.VMEM((2, wy, w_img), jnp.float32),
+            pltpu.VMEM((2, band_h, w_img), jnp.float32),
+            pltpu.VMEM((2, band_h, w_img), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(b0_arr, frames, cy, sy, cx, sx, pm)
-    return u[..., 0], v[..., 0], cmax[..., 0], s2n[..., 0]
+    )(sb0_arr, frames, cy, sy, cx, sx, pm)
+    return u, v, cmax, s2n
 
 
 # -- fused ensemble kernel -----------------------------------------------------
 
 
-def _ens_chunk(band_a, band_b, cy, sy, cxt, sxt, pm, wy, wx, step_x, c0, cnt, pack):
+def _ens_chunk(band_a, band_b, cy, sy, cxt, sxt, pm, wy, wx, step_x, c0, cnt, pack, n_cols):
     """Normalized, clipped, fftshifted corr planes + per-window stats for one
-    column chunk: (corr [cnt, wy, wx], cmax [cnt,1,1], s2n [cnt,1,1])."""
-    a, b, sa, sb, valid = _demean(band_a, band_b, wy, wx, step_x, c0, cnt)
-    g = pack * pack
-    if pack > 1 and cnt % g == 0:
+    column chunk: (corr [cnt, wy, wx], cmax [cnt,1,1], s2n [cnt,1,1]).
+    When pack > 1 the caller clamp-pads cnt to a multiple of pack**2 and
+    slices the duplicate results off afterwards."""
+    a, b, sa, sb, valid = _demean(band_a, band_b, wy, wx, step_x, c0, cnt, n_cols)
+    if pack > 1:
         a4 = _pack_windows(a, pack, wy, wx)
         b4 = _pack_windows(b, pack, wy, wx)
         corr4 = _corr_raw_transposed(
@@ -525,6 +607,7 @@ def _ens_kernel(
     s2n_min: float,
     pack: int,
     col_chunk: int,
+    buf_h: int,  # DMA buffer height (covers alignment slack for odd step_y)
 ):
     band = pl.program_id(0)
     grp = pl.program_id(1)
@@ -535,12 +618,24 @@ def _ens_kernel(
     sxt = sx_ref[:].T
     pm = pm_ref[:] if pack > 1 else None
 
+    # odd step_y (e.g. the 26/13 grid): DMA from the aligned-down row
+    # 8*floor(r0/8) — provably 8-divisible — and rotate the band into place
+    # in VMEM (dynamic-shift roll), since Mosaic rejects unaligned HBM DMAs
+    # and dynamic sublane slices.
+    r0 = band * step_y
+    r0a = r0 if step_y % 8 == 0 else 8 * (r0 // 8)
+
     def dma(frame_idx):
         f = jnp.minimum(frame_idx, n_frames - 1)
-        r0 = band * step_y
         return pltpu.make_async_copy(
-            frames_hbm.at[f, pl.ds(r0, wy), :], bufs.at[frame_idx % 3], sems.at[frame_idx % 3]
+            frames_hbm.at[f, pl.ds(r0a, buf_h), :], bufs.at[frame_idx % 3], sems.at[frame_idx % 3]
         )
+
+    def extract_band(buf):
+        if step_y % 8 == 0:
+            return jax.lax.slice_in_dim(buf, 0, wy, axis=0)
+        rolled = pltpu.roll(buf, buf_h - (r0 - r0a), 0)
+        return jax.lax.slice_in_dim(rolled, 0, wy, axis=0)
 
     first_pair = grp * _ENS_GROUP
 
@@ -570,13 +665,19 @@ def _ens_kernel(
 
         dma(pair + 1).wait()
         pair_ok = (pair < n_pairs).astype(jnp.float32)
-        band_a = bufs[pair % 3]
-        band_b = bufs[(pair + 1) % 3]
+        band_a = extract_band(bufs[pair % 3])
+        band_b = extract_band(bufs[(pair + 1) % 3])
+        g = pack * pack
         for c0 in range(0, n_cols, col_chunk):
             cnt = min(col_chunk, n_cols - c0)
+            cnt_pad = -(-cnt // g) * g if pack > 1 else cnt
             corr, cmax, s2n = _ens_chunk(
-                band_a, band_b, cy, sy, cxt, sxt, pm, wy, wx, step_x, c0, cnt, pack
+                band_a, band_b, cy, sy, cxt, sxt, pm, wy, wx, step_x, c0, cnt_pad, pack, n_cols
             )
+            if cnt_pad != cnt:
+                corr, cmax, s2n = (
+                    jax.lax.slice_in_dim(t, 0, cnt, axis=0) for t in (corr, cmax, s2n)
+                )
             ok = (
                 (cmax >= corr_min).astype(jnp.float32)
                 * (s2n >= s2n_min).astype(jnp.float32)
@@ -623,16 +724,7 @@ def piv_ensemble_fused(
     row0, col0 = win.get_window_starts(dim_size, sas, overlap)
     step_y = piv_ops._strided_axis_starts(np.asarray(row0), wy)
     step_x = piv_ops._strided_axis_starts(np.asarray(col0), wx)
-    aligned = (
-        step_y is not None
-        and step_x is not None
-        and step_y % 8 == 0
-        and step_x % 8 == 0
-        and wy % 8 == 0
-        and wx % 8 == 0
-        and min(wy, wx) >= 64
-    )
-    if not aligned or signal_threshold is not None:
+    if not _fused_geometry_ok(wy, wx, step_y, step_x) or signal_threshold is not None:
         return piv_ops.piv_ensemble_scan(
             imgs, dim_size, sas, overlap, n_rows, n_cols, corr_min, s2n_min, signal_threshold
         )
@@ -642,8 +734,7 @@ def piv_ensemble_fused(
             float(corr_min), float(s2n_min), bool(interpret),
         )
     except Exception as e:
-        if "Mosaic" not in str(e) and "vmem" not in str(e).lower():
-            raise
+        # degrade to the slower-but-correct XLA scan on any Pallas failure
         import warnings
 
         warnings.warn(
@@ -660,32 +751,45 @@ def _piv_ensemble_fused_jit(imgs, sas, steps, n_rows, n_cols, corr_min, s2n_min,
     wy, wx = sas
     step_y, step_x = steps
     n_pairs = imgs.shape[0] - 1
-    w_img = imgs.shape[-1]
     n_groups = -(-n_pairs // _ENS_GROUP)
     cy, sy = (jnp.asarray(m) for m in _dft_mats(wy))
     cx, sx = (jnp.asarray(m) for m in _dft_mats(wx))
-    pack = max(128 // wx, 1) if (wy == wx and 128 % wx == 0) else 1
+    pack = _fused_plan(wy, wx, step_y)[0]
     pm = jnp.asarray(_packed_mats(wy, wx, pack))
+    # buffer height: the exact band for aligned steps; alignment slack (the
+    # DMA starts at the aligned-down row, up to 7 rows early) for odd steps
+    buf_h = -(-wy // 8) * 8 if step_y % 8 == 0 else -(-(wy + 7) // 8) * 8
     # the band DMA requires the lane (width) extent be a multiple of the
-    # 128-lane tiling; pad on the host (windows never read the padding)
-    if w_img % 128:
-        pad = 128 - w_img % 128
-        imgs = jnp.pad(imgs, ((0, 0), (0, 0), (0, pad)))
-        w_img = imgs.shape[-1]
+    # 128-lane tiling, and the last band's buffer may read past the frame
+    # bottom; pad on the host (real windows never read the padding)
+    w_img = imgs.shape[-1]
+    pad_w = (-w_img) % 128
+    pad_h = max((n_rows - 1) * step_y + buf_h - imgs.shape[-2], 0)
+    if pad_w or pad_h:
+        imgs = jnp.pad(imgs, ((0, 0), (0, pad_h), (0, pad_w)))
+    w_img = imgs.shape[-1]
     frames = imgs.astype(jnp.float32)
 
     # VMEM budget for per-chunk temporaries: the resident corr-sum block,
     # the 3 rotating band buffers and the matrix stack all live alongside
     # them (measured ~500KB of temporaries per chunk column at 64px)
-    resident = n_cols * wy * wx * 4 + 3 * wy * w_img * 4 + (8 * 128 * 128 * 4) + (1 << 20)
+    resident = (
+        n_cols * (-(-wy // 8) * 8) * (-(-wx // 128) * 128) * 4
+        + 3 * buf_h * w_img * 4
+        + (8 * (pack * wy) * (pack * wx) * 4)
+        + (1 << 20)
+    )
     budget = (15 << 20) - resident
     g = pack * pack
-    col_chunk = min(24, max(int(budget // (500 << 10)), 4))
-    col_chunk = max((col_chunk // g) * g, min(g, n_cols)) if g > 1 else col_chunk
+    # ~500KB of temporaries per chunk column at 64px, scaled by window area
+    per_win = max((500 << 10) * (wy * (-(-wx // 128) * 128)) // (64 * 128), 32 << 10)
+    col_chunk = max(int(budget // per_win), 4)
+    col_chunk = max((col_chunk // g) * g, g) if g > 1 else min(col_chunk, 24)
+    col_chunk = min(col_chunk, -(-n_cols // g) * g if g > 1 else n_cols)
     kernel = functools.partial(
         _ens_kernel, wy=wy, wx=wx, step_y=step_y, step_x=step_x, n_cols=n_cols,
         n_pairs=n_pairs, corr_min=corr_min, s2n_min=s2n_min, pack=pack,
-        col_chunk=col_chunk,
+        col_chunk=col_chunk, buf_h=buf_h,
     )
     out_shape = [
         jax.ShapeDtypeStruct((n_rows, n_cols, wy, wx), jnp.float32),  # corr_sum
@@ -698,7 +802,7 @@ def _piv_ensemble_fused_jit(imgs, sas, steps, n_rows, n_cols, corr_min, s2n_min,
         kernel,
         grid=(n_rows, n_groups),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             mat_spec(wy),
             mat_spec(wy),
             mat_spec(wx),
@@ -715,7 +819,7 @@ def _piv_ensemble_fused_jit(imgs, sas, steps, n_rows, n_cols, corr_min, s2n_min,
         ],
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((3, wy, w_img), jnp.float32),
+            pltpu.VMEM((3, buf_h, w_img), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,

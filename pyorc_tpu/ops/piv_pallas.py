@@ -361,6 +361,397 @@ def _kernel(
     jax.lax.fori_loop(0, n_rows, loop_body, 0)
 
 
+# -- packed-domain ("tileband") pairs kernel -------------------------------------
+#
+# For the standard 50%-overlap grid (step = w/2), windows at even (or odd)
+# indices tile CONTIGUOUSLY: band[step*c : step*c + p*w] is exactly p abutting
+# windows (window c+2q starts at in-slice lane q*w). The whole pipeline then
+# stays in the dense packed domain:
+#   - tile build: p wide slices per [p*w, p*w] tile (vs p*p window slices)
+#   - demeaning: zeroing the DC bin of one spectrum (a constant shift only
+#     carries energy at frequency (0,0)), i.e. ONE elementwise mask — no
+#     per-window mean subtract/broadcast
+#   - per-window stats: blockwise sums as two B1-matrix contractions on the
+#     MXU; blockwise max/min as p-slice trees; per-window scalars live as
+#     [n_t, p, p] slabs
+#   - subpixel: the one-hot/roll trick works tile-wide because the stencil is
+#     clamped one pixel inside each window, so tile rolls never leak across
+#     window blocks at selected positions
+#   - result rows assemble via one batched matmul against a scatter constant
+# This removes the lane-padding (a [cnt, 26, 26] stack pads 26 -> 128 lanes)
+# and the per-window slice traffic that dominate the sliced path below 64 px.
+
+
+def _tb_shape(w: int) -> Tuple[int, int]:
+    """(py, px) window-blocks per tile axis for the tileband kernel.
+
+    py fills the 128 sublanes with wp-padded window rows; px matches it on
+    the lane axis (a 2x-wider px was measured slower: the extra block-
+    diagonal x-stage FLOPs cost more than the saved tile-build stores).
+    """
+    wp = -(-w // 8) * 8
+    py = max(128 // wp, 1)
+    return py, py
+
+
+def _tb_consts(w: int, n_cols: int):
+    """Host-built constants for the tileband kernel.
+
+    Tiles are RECTANGULAR [py*wp, px*w] with wp = round8(w): each window row
+    block is padded to the 8-sublane tiling so the tile-build stores are
+    fully aligned. The padding rows carry image garbage; the y-DFT matrices
+    and the block-sum/broadcast matrices are zero there, and lin_mod is
+    sentineled.
+
+    Returns (dc_mask [pxw, pwh], cst [3, pwh, pxw] (lin/row/col mods),
+    b1x [pxw, px], b1y [pwh, py], qt [n_t, py, n_cols], qs [px, n_cols]).
+    qt/qs scatter per-window scalars from tile slabs into band-row order:
+    window j lives in tile t = 2*(j // g2) + j%2 (g2 = 2*py*px) at block
+    row r, col q with k = (j % g2) // 2, r = k // px, q = k % px.
+    """
+    py, px = _tb_shape(w)
+    wp = -(-w // 8) * 8
+    pxw = px * w
+    pwh = py * wp
+    g2 = 2 * py * px
+    n_t = 2 * (-(-n_cols // g2))
+    b1x = np.zeros((pxw, px), np.float32)
+    b1y = np.zeros((pwh, py), np.float32)
+    for c in range(px):
+        b1x[c * w : (c + 1) * w, c] = 1.0
+    for r in range(py):
+        b1y[r * wp : r * wp + w, r] = 1.0
+    ii = np.arange(pwh)[:, None] % wp  # space-y within block (incl. padding)
+    jj = np.arange(pxw)[None, :] % w  # space-x within block
+    real = ii < w
+    lin_mod = np.where(real, ii * w + jj, 2.0 * w * w).astype(np.float32)
+    row_mod = np.broadcast_to(ii, (pwh, pxw)).astype(np.float32)
+    col_mod = np.broadcast_to(jj, (pwh, pxw)).astype(np.float32)
+    cst = np.stack([lin_mod, row_mod, col_mod])
+    # spectra live TRANSPOSED: [x-freq (pxw sublanes), y-freq (pwh lanes)]
+    fx = np.arange(pxw)[:, None] % w
+    fy = np.arange(pwh)[None, :] % wp
+    dc_mask = 1.0 - ((fx == 0) & (fy == 0)).astype(np.float32)
+    qt = np.zeros((n_t, py, n_cols), np.float32)
+    qs = np.zeros((px, n_cols), np.float32)
+    for j in range(n_cols):
+        u, i = divmod(j, g2)
+        k, par = i // 2, i % 2
+        r, q = divmod(k, px)
+        qt[2 * u + par, r, j] = 1.0
+        qs[q, j] = 1.0
+    return dc_mask, cst, b1x, b1y, qt, qs
+
+
+def _tb_mats(w: int):
+    """(pmx [4, pxw, pxw], pmy [4, pwh, pwh]) block-diagonal DFT matrices.
+
+    pmx: forward CXT, SXT; inverse (fftshift-folded) ICXT, ISXT over w-blocks.
+    pmy: same for the y stages over wp-blocks, zero-padded beyond w so the
+    tile's alignment-padding rows neither contribute nor receive energy.
+    """
+    py, px = _tb_shape(w)
+    wp = -(-w // 8) * 8
+    c, s = _dft_mats(w)
+    bdx = lambda m: np.kron(np.eye(px, dtype=np.float32), m.astype(np.float32))
+    c_s = np.roll(c, -(w // 2), axis=0)
+    s_s = np.roll(s, -(w // 2), axis=0)
+    pmx = np.stack([bdx(c.T), bdx(s.T), bdx(c_s.T), bdx(s_s.T)])
+
+    def pad_y(m):
+        out = np.zeros((wp, wp), np.float32)
+        out[:w, :w] = m
+        return out
+
+    bdy = lambda m: np.kron(np.eye(py, dtype=np.float32), pad_y(m.astype(np.float32)))
+    pmy = np.stack([bdy(c.T), bdy(s.T), bdy(c_s.T), bdy(s_s.T)])
+    return pmx, pmy
+
+
+def _tb_kernel(
+    b0_ref,  # SMEM scalar [1]: first (global) band of this strip
+    frames_hbm,  # ANY/HBM ref [T, H, W]
+    pmx_ref,  # [4, pxw, pxw] x-stage DFT matrices
+    pmy_ref,  # [4, pwh, pwh] y-stage DFT matrices (zero-padded blocks)
+    dc_ref,  # [pxw, pwh] DC-bin mask (transposed-spectrum domain)
+    cst_ref,  # [3, pwh, pxw]: lin_mod, row_mod, col_mod
+    b1x_ref,  # [pxw, px]
+    b1y_ref,  # [pwh, py]
+    qt_ref,  # [n_t, py, n_cols]
+    qs_ref,  # [px, n_cols]
+    u_ref,
+    v_ref,
+    cmax_ref,
+    s2n_ref,
+    band_a,  # VMEM scratch [2, band_h, W] (double buffer)
+    band_b,
+    tiles_s,  # VMEM scratch [2*n_t, pwh, pxw]: packed tiles for frames a/b
+    sem_a,
+    sem_b,
+    *,
+    w: int,
+    step_y: int,
+    step_x: int,
+    n_rows: int,
+    n_cols: int,
+    band_h: int,
+):
+    pair = pl.program_id(0)
+    band0 = b0_ref[0]
+    pmx = pmx_ref[:]
+    pmy = pmy_ref[:]
+    dc_mask = dc_ref[:]
+    lin_mod = cst_ref[0]
+    row_mod = cst_ref[1]
+    col_mod = cst_ref[2]
+    b1x = b1x_ref[:]
+    b1y = b1y_ref[:]
+    b1xt = b1x.T
+    b1yt = b1y.T
+    qt = qt_ref[:]
+    qs = qs_ref[:]
+    aligned = step_y % 8 == 0
+    py, px = _tb_shape(w)
+    wp = -(-w // 8) * 8
+    pxw = px * w
+    pwh = py * wp
+    g2 = 2 * py * px
+    n_t = qt.shape[0]
+    n_pix = w * w
+    T = lambda x: jnp.swapaxes(x, -1, -2)
+    mm = lambda x, m: jnp.matmul(x, m, preferred_element_type=jnp.float32)
+    # blockwise scatter/gather matmuls carry VALUES (not FLOPs): the default
+    # single-pass-bf16 MXU precision rounds them, which breaks the exact
+    # `corr >= bcast(blockmax(corr))` peak test — force full fp32
+    mmx = lambda x, m: jnp.matmul(
+        x, m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+
+    def block_sum(x):  # [n_t, pwh, pxw] -> [n_t, py(r), px(c)]
+        return T(mmx(T(mmx(x, b1x)), b1y))
+
+    def block_reduce(x, red):  # slice-tree for max/min -> [n_t, py, px]
+        rows = [red(jax.lax.slice_in_dim(x, r * wp, (r + 1) * wp, axis=1), 1) for r in range(py)]
+        xr = jnp.concatenate(rows, axis=1)  # [n_t, py, pxw]
+        cols = [red(jax.lax.slice_in_dim(xr, c * w, (c + 1) * w, axis=2), 2) for c in range(px)]
+        return jnp.concatenate(cols, axis=2)
+
+    rmax = lambda x, ax: jnp.max(x, axis=ax, keepdims=True)
+    rmin = lambda x, ax: jnp.min(x, axis=ax, keepdims=True)
+
+    def bcast(m):  # [n_t, py(r), px(c)] -> [n_t, pwh, pxw] (zero at padding rows)
+        return T(mmx(T(mmx(m, b1xt)), b1yt))
+
+    def dft2t(v):  # [n_t, pwh, pxw] -> transposed spectra [n_t, pxw, pwh]
+        p_ = mm(v, pmx[0])
+        q_ = mm(v, pmx[1])
+        pt = T(p_)
+        qt_ = T(q_)
+        return mm(pt, pmy[0]) - mm(qt_, pmy[1]), mm(pt, pmy[1]) + mm(qt_, pmy[0])
+
+    def row0(band_idx):
+        r0 = (band0 + band_idx) * step_y
+        return r0, (r0 if aligned else 8 * (r0 // 8))
+
+    def get_dma(slot, band_idx):
+        _, r0a = row0(band_idx)
+        return (
+            pltpu.make_async_copy(frames_hbm.at[pair, pl.ds(r0a, band_h), :], band_a.at[slot], sem_a.at[slot]),
+            pltpu.make_async_copy(frames_hbm.at[pair + 1, pl.ds(r0a, band_h), :], band_b.at[slot], sem_b.at[slot]),
+        )
+
+    def extract_band(buf, band_idx):
+        # [wp, W]: the window band plus (wp - w) alignment-padding rows of
+        # following image content (excluded by the zero-padded matrices)
+        if aligned:
+            return jax.lax.slice_in_dim(buf, 0, wp, axis=0)
+        r0, r0a = row0(band_idx)
+        rolled = pltpu.roll(buf, band_h - (r0 - r0a), 0)
+        return jax.lax.slice_in_dim(rolled, 0, wp, axis=0)
+
+    def build_tiles(band, f):  # [wp, W] -> [n_t, pwh, pxw] via scratch stores
+        # one [wp, px*w] store per tile row: at 50% overlap px consecutive
+        # same-parity windows are CONTIGUOUS in the band (window c+2q starts
+        # at in-slice lane q*w). (Mosaic rejects sublane-concats of slices
+        # with mismatched lane offsets; aligned scratch stores lower cleanly.)
+        for t in range(n_t):
+            u_, par = divmod(t, 2)
+            for r in range(py):
+                w0 = min(u_ * g2 + 2 * px * r + par, n_cols - 1)
+                tiles_s[f * n_t + t, wp * r : wp * (r + 1), :] = jax.lax.slice_in_dim(
+                    band, w0 * step_x, w0 * step_x + pxw, axis=1
+                )
+        return tiles_s[f * n_t : (f + 1) * n_t]
+
+    def assemble(s):  # [n_t, py(r), px(q)] -> [1, n_cols] in window order
+        m1 = mmx(T(s), qt)  # [n_t, px(q), n_cols]
+        m2 = jax.lax.index_in_dim(m1, 0, 0, keepdims=False)
+        for t in range(1, n_t):
+            m2 = m2 + jax.lax.index_in_dim(m1, t, 0, keepdims=False)
+        return mmx(jnp.ones((1, px), jnp.float32), m2 * qs)  # [1, n_cols]
+
+    da0, db0 = get_dma(0, 0)
+    da0.start()
+    db0.start()
+
+    def loop_body(band_idx, _):
+        slot = band_idx % 2
+        nxt = (band_idx + 1) % 2
+
+        @pl.when(band_idx + 1 < n_rows)
+        def _():
+            da, db = get_dma(nxt, band_idx + 1)
+            da.start()
+            db.start()
+
+        da, db = get_dma(slot, band_idx)
+        da.wait()
+        db.wait()
+        a = build_tiles(extract_band(band_a[slot], band_idx), 0)
+        b = build_tiles(extract_band(band_b[slot], band_idx), 1)
+
+        # raw moments for the Pearson normalization (demeaning itself happens
+        # spectrally: a constant offset only carries energy in the DC bin)
+        sum_a = block_sum(a)
+        ssq_a = block_sum(a * a)
+        sum_b = block_sum(b)
+        ssq_b = block_sum(b * b)
+
+        at_re, at_im = dft2t(a)
+        at_re = at_re * dc_mask  # zero DC: conj(A)B then has no mean term
+        at_im = at_im * dc_mask
+        bt_re, bt_im = dft2t(b)
+        st_re = at_re * bt_re + at_im * bt_im
+        st_im = at_re * bt_im - at_im * bt_re
+        st_re_t = T(st_re)
+        st_im_t = T(st_im)
+        v_re = mm(st_re_t, pmx[2]) + mm(st_im_t, pmx[3])
+        v_im = mm(st_im_t, pmx[2]) - mm(st_re_t, pmx[3])
+        corr = T(mm(T(v_re), pmy[2]) + mm(T(v_im), pmy[3]))
+        # clip BEFORE normalization (positive scaling commutes with the clip)
+        corr = jnp.maximum(corr, 0.0)
+
+        cmax_raw = block_reduce(corr, rmax)
+        csum_raw = block_sum(corr)
+        ispk = corr >= bcast(cmax_raw)  # exact: same values fed both sides
+        lin = jnp.where(ispk, lin_mod, jnp.float32(2 * n_pix))
+        first_lin = block_reduce(lin, rmin)
+        iy = jnp.floor(first_lin / w)
+        ix = first_lin - iy * w
+        iyc = jnp.clip(iy, 1.0, w - 2.0)
+        ixc = jnp.clip(ix, 1.0, w - 2.0)
+        oh = ((row_mod == bcast(iyc)) & (col_mod == bcast(ixc))).astype(jnp.float32)
+        # neighbour reads via tile rolls: the clamped stencil keeps iyc/ixc one
+        # pixel inside each window block, so the roll's cross-block wrap only
+        # lands on never-selected positions
+        c0s = block_sum(oh * corr)
+        cls = block_sum(oh * pltpu.roll(corr, 1, 2))
+        crs = block_sum(oh * pltpu.roll(corr, pxw - 1, 2))
+        cus = block_sum(oh * pltpu.roll(corr, 1, 1))
+        cds = block_sum(oh * pltpu.roll(corr, pwh - 1, 1))
+
+        # per-window scalar math on [n_t, py, px] slabs (matches _finish_corr)
+        mu_a = sum_a / n_pix
+        mu_b = sum_b / n_pix
+        sa = jnp.sqrt(jnp.maximum(ssq_a / n_pix - mu_a * mu_a, 0.0))
+        sb = jnp.sqrt(jnp.maximum(ssq_b / n_pix - mu_b * mu_b, 0.0))
+        valid = (sa > 1e-6) & (sb > 1e-6)
+        validf = valid.astype(jnp.float32)
+        denom = jnp.maximum(n_pix * sa * sb, 1e-10) * n_pix
+        cmax = jnp.where(valid, cmax_raw / denom, 0.0)
+        cmean = jnp.where(valid, csum_raw / denom, 0.0) / n_pix
+        s2n = cmax / jnp.maximum(cmean, 1e-10)
+
+        eps = 1e-10
+        norm = lambda x: jnp.maximum(jnp.where(valid, x / denom, 0.0), eps)
+        c0 = norm(c0s)
+        cl = norm(cls)
+        cr = norm(crs)
+        cu = norm(cus)
+        cd = norm(cds)
+        log0 = jnp.log(c0)
+
+        def safe_div(num, den):
+            den = jnp.where(jnp.abs(den) < eps, -eps, den)
+            return num / den
+
+        dx = safe_div(jnp.log(cl) - jnp.log(cr), 2 * jnp.log(cl) - 4 * log0 + 2 * jnp.log(cr))
+        dy = safe_div(jnp.log(cu) - jnp.log(cd), 2 * jnp.log(cu) - 4 * log0 + 2 * jnp.log(cd))
+        dx = jnp.clip(dx, -1.0, 1.0)
+        dy = jnp.clip(dy, -1.0, 1.0)
+        u = (ixc + dx) - w // 2
+        v = -((iyc + dy) - w // 2)
+
+        ok = assemble(validf) > 0.5
+        bsl = pl.ds(band_idx, 1)
+        u_ref[0, bsl, :] = jnp.where(ok, assemble(u), jnp.nan)
+        v_ref[0, bsl, :] = jnp.where(ok, assemble(v), jnp.nan)
+        cmax_ref[0, bsl, :] = assemble(cmax)
+        s2n_ref[0, bsl, :] = assemble(s2n)
+        return 0
+
+    jax.lax.fori_loop(0, n_rows, loop_body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 4, 5, 6))
+def _piv_pairs_tb_jit(imgs, sas, steps, band0, nb, n_cols, interpret):
+    """Tileband variant of _piv_pairs_fused_jit (50%-overlap square windows)."""
+    wy, wx = sas
+    step_y, step_x = steps
+    w = wx
+    n_pairs = imgs.shape[0] - 1
+    _, band_h = _fused_plan(wy, wx, step_y)
+    py, px = _tb_shape(w)
+    wp = -(-w // 8) * 8
+    band_h = max(band_h, wp)
+    pmx, pmy = _tb_mats(w)
+    dc_mask, cst, b1x, b1y, qt, qs = _tb_consts(w, n_cols)
+    w_img = imgs.shape[-1]
+    frames = imgs.astype(jnp.float32)
+    b0_arr = jnp.asarray(band0, dtype=jnp.int32).reshape(1)
+    pxw = px * w
+    pwh = py * wp
+    n_t = qt.shape[0]
+
+    kernel = functools.partial(
+        _tb_kernel, w=w, step_y=step_y, step_x=step_x, n_rows=nb, n_cols=n_cols,
+        band_h=band_h,
+    )
+    out_shape = [jax.ShapeDtypeStruct((n_pairs, nb, n_cols), jnp.float32) for _ in range(4)]
+    out_spec = pl.BlockSpec((1, nb, n_cols), lambda p_: (p_, 0, 0), memory_space=pltpu.VMEM)
+    vspec = lambda *dims: pl.BlockSpec(dims, lambda p_: (0,) * len(dims), memory_space=pltpu.VMEM)
+    u, v, cmax, s2n = pl.pallas_call(
+        kernel,
+        grid=(n_pairs,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            vspec(4, pxw, pxw),
+            vspec(4, pwh, pwh),
+            vspec(pxw, pwh),
+            vspec(3, pwh, pxw),
+            vspec(pxw, px),
+            vspec(pwh, py),
+            vspec(n_t, py, n_cols),
+            vspec(px, n_cols),
+        ],
+        out_specs=[out_spec] * 4,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, band_h, w_img), jnp.float32),
+            pltpu.VMEM((2, band_h, w_img), jnp.float32),
+            pltpu.VMEM((2 * n_t, pwh, pxw), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(
+        b0_arr, frames, jnp.asarray(pmx), jnp.asarray(pmy), jnp.asarray(dc_mask),
+        jnp.asarray(cst), jnp.asarray(b1x), jnp.asarray(b1y), jnp.asarray(qt), jnp.asarray(qs),
+    )
+    return u, v, cmax, s2n
+
+
 def piv_pairs_fused(
     imgs,
     dim_size: Tuple[int, int],
@@ -456,24 +847,39 @@ def _fused_plan(wy: int, wx: int, step_y: int):
     return pack, band_h
 
 
+def _tileband_ok(wy: int, wx: int, step_x: int, pack: int) -> bool:
+    """The packed-domain kernel needs the standard 50%-overlap square grid
+    (step = w/2 makes even/odd windows tile contiguously). Above ~32 px the
+    sliced-pack path wins (few windows per band, so per-window slicing is
+    cheap and the tileband's blockwise stats machinery costs more than it
+    saves): measured 1080p pairs/s (v5e, 64-pair batches)
+    sliced/tileband — 16 px: 252/412, 26 px: 298/328, 32 px: 469/463,
+    64 px: 744/489."""
+    return wy == wx and 2 * step_x == wx and 8 <= wx < 32
+
+
 def _piv_pairs_fused_strips(imgs, sas, steps, n_rows, n_cols, nb_max, interpret):
     # pad ONCE, globally: the band DMA needs the lane (width) extent to be a
-    # multiple of the 128-lane tiling, and the last band's buffer may read
-    # past the frame bottom. Real windows never read the padding.
+    # multiple of the 128-lane tiling, the last band's buffer may read past
+    # the frame bottom, and the tileband build slices p windows at once (up
+    # to step*(n_cols-1) + p*w lanes). Real windows never read the padding.
     wy, wx = sas
-    step_y, _ = steps
-    _, band_h = _fused_plan(wy, wx, step_y)
+    step_y, step_x = steps
+    pack, band_h = _fused_plan(wy, wx, step_y)
+    tileband = _tileband_ok(wy, wx, step_x, pack)
+    jit_fn = _piv_pairs_tb_jit if tileband else _piv_pairs_fused_jit
     rows_needed = (n_rows - 1) * step_y + band_h
-    pad_w = (-imgs.shape[-1]) % 128
+    w_needed = step_x * (n_cols - 1) + _tb_shape(wx)[1] * wx if tileband else imgs.shape[-1]
+    pad_w = max(w_needed - imgs.shape[-1], 0) + (-max(w_needed, imgs.shape[-1])) % 128
     pad_h = max(rows_needed - imgs.shape[-2], 0)
     if pad_w or pad_h:
         imgs = jnp.pad(imgs, ((0, 0), (0, pad_h), (0, pad_w)))
     if n_rows <= nb_max:
-        return _piv_pairs_fused_jit(imgs, sas, steps, 0, n_rows, n_cols, interpret)
+        return jit_fn(imgs, sas, steps, 0, n_rows, n_cols, interpret)
     outs = []
     for b0 in range(0, n_rows, nb_max):
         nb = min(nb_max, n_rows - b0)
-        outs.append(_piv_pairs_fused_jit(imgs, sas, steps, b0, nb, n_cols, interpret))
+        outs.append(jit_fn(imgs, sas, steps, b0, nb, n_cols, interpret))
     return tuple(jnp.concatenate([o[k] for o in outs], axis=1) for k in range(4))
 
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 import copy
 from typing import Optional
 
+import logging
+
 import numpy as np
 
 from .. import const, helpers, ndx
@@ -229,6 +231,11 @@ class Frames(ORCBase):
         coords, mesh_coords = self.get_piv_coords(window_size, search_area_size, overlap)
         if engine not in ("jax", "numba", "numpy"):
             raise ValueError(f"Selected PIV engine {engine} does not exist.")
+        if engine != "jax":
+            logging.getLogger(__name__).debug(
+                "engine=%r is accepted for recipe compatibility but runs the JAX/TPU engine.",
+                engine,
+            )
         kwargs = {
             **kwargs,
             "search_area_size": search_area_size,

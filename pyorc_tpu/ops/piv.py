@@ -48,7 +48,8 @@ __all__ = [
 
 
 def _strided_axis_starts(starts: np.ndarray, w: int):
-    """If starts form an arithmetic grid whose step divides w, return (step,)."""
+    """The grid step if ``starts`` form an arithmetic grid whose step divides
+    ``w`` (an int), else None."""
     if len(starts) < 2:
         return None
     step = int(starts[1] - starts[0])

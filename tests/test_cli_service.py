@@ -57,7 +57,15 @@ def cross_geojson(tmp_path_factory):
 def recipe_dict(cross_geojson):
     return {
         "video": {"start_frame": 0, "end_frame": 6, "h_a": 92.36},
-        "frames": {"normalize": {"samples": 2}, "minmax": {"min": -5, "max": 5}},
+        # mirrors the reference's shipped recipe shape (ngwerere.yml):
+        # normalize -> edge_detect -> minmax. minmax(-5, 5) only makes sense
+        # AFTER edge_detect — normalize rescales to uint8 0..255, and
+        # clamping that to [0, 5] destroys the correlation signal.
+        "frames": {
+            "normalize": {"samples": 2},
+            "edge_detect": {"wdw_1": 1, "wdw_2": 2},
+            "minmax": {"min": -5, "max": 5},
+        },
         "velocimetry": {"get_piv": {"window_size": 32}, "write": True},
         "mask": {"write": True, "mask_group1": {"corr": None}},
         "transect": {
@@ -119,6 +127,13 @@ def test_service_outputs(service_output):
     Q = tr["river_flow"].values
     assert Q.shape == (5,)
     assert np.isfinite(Q).all()
+    # the discharge must be NON-trivial: a degenerate transect (no valid
+    # velocimetry points over the bathymetry) silently yields all-zero Q
+    # with fill_method="zeros", which this guards against
+    assert np.nanmax(np.abs(Q)) > 0.01
+    assert np.nanmax(np.abs(Q)) < 100.0  # sane magnitude for a small stream
+    # most mid-channel transect points carry real velocities
+    assert np.isfinite(tr["v_eff_nofill"].values).any(axis=0).mean() > 0.5
     # hash cache written
     cache = os.listdir(os.path.join(service_output, ".pyorc"))
     assert any(f.endswith(".hash") for f in cache)

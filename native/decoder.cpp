@@ -293,4 +293,143 @@ void vd_close(void* handle) {
     delete ctx;
 }
 
+// ---------------------------------------------------------------------------
+// Native H.264 encoder (libx264 via libavcodec). Replaces the reference's
+// cv2.VideoWriter (reference pyorc/api/frames.py:537-607 `to_video`) and
+// backs the synthetic-video velocity-parity harness (H.264 round-trip keeps
+// the real decode path in the test loop).
+
+struct EncCtx {
+    AVFormatContext* fmt = nullptr;
+    AVCodecContext* codec = nullptr;
+    AVStream* stream = nullptr;
+    AVFrame* frame = nullptr;
+    AVPacket* pkt = nullptr;
+    SwsContext* sws = nullptr;
+    int width = 0;
+    int height = 0;
+    int channels = 1;  // 1 = gray input, 3 = rgb input
+    int64_t next_pts = 0;
+    std::string error;
+};
+
+int enc_drain(EncCtx* ctx) {
+    while (true) {
+        int ret = avcodec_receive_packet(ctx->codec, ctx->pkt);
+        if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) return 0;
+        if (ret < 0) return ret;
+        av_packet_rescale_ts(ctx->pkt, ctx->codec->time_base, ctx->stream->time_base);
+        ctx->pkt->stream_index = ctx->stream->index;
+        ret = av_interleaved_write_frame(ctx->fmt, ctx->pkt);
+        av_packet_unref(ctx->pkt);
+        if (ret < 0) return ret;
+    }
+}
+
+void* ve_open(const char* path, int width, int height, double fps, int channels, int crf) {
+    auto* ctx = new EncCtx();
+    ctx->width = width;
+    ctx->height = height;
+    ctx->channels = channels == 3 ? 3 : 1;
+    const AVCodec* codec = avcodec_find_encoder_by_name("libx264");
+    if (!codec) codec = avcodec_find_encoder(AV_CODEC_ID_H264);
+    if (!codec) {
+        delete ctx;
+        return nullptr;
+    }
+    if (avformat_alloc_output_context2(&ctx->fmt, nullptr, nullptr, path) < 0 || !ctx->fmt) {
+        delete ctx;
+        return nullptr;
+    }
+    ctx->codec = avcodec_alloc_context3(codec);
+    ctx->codec->width = width;
+    ctx->codec->height = height;
+    // rational fps: exact for integers, close enough otherwise
+    AVRational tb = av_d2q(1.0 / (fps > 0 ? fps : 25.0), 1 << 16);
+    ctx->codec->time_base = tb;
+    ctx->codec->framerate = AVRational{tb.den, tb.num};
+    ctx->codec->pix_fmt = AV_PIX_FMT_YUV420P;
+    ctx->codec->gop_size = 30;
+    ctx->codec->thread_count = 0;
+    if (ctx->fmt->oformat->flags & AVFMT_GLOBALHEADER)
+        ctx->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    AVDictionary* opts = nullptr;
+    char crf_s[8];
+    snprintf(crf_s, sizeof crf_s, "%d", crf >= 0 ? crf : 18);
+    av_dict_set(&opts, "crf", crf_s, 0);
+    av_dict_set(&opts, "preset", "fast", 0);
+    if (avcodec_open2(ctx->codec, codec, &opts) < 0) {
+        av_dict_free(&opts);
+        avcodec_free_context(&ctx->codec);
+        avformat_free_context(ctx->fmt);
+        delete ctx;
+        return nullptr;
+    }
+    av_dict_free(&opts);
+    ctx->stream = avformat_new_stream(ctx->fmt, nullptr);
+    ctx->stream->time_base = ctx->codec->time_base;
+    avcodec_parameters_from_context(ctx->stream->codecpar, ctx->codec);
+    if (!(ctx->fmt->oformat->flags & AVFMT_NOFILE)) {
+        if (avio_open(&ctx->fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+            avcodec_free_context(&ctx->codec);
+            avformat_free_context(ctx->fmt);
+            delete ctx;
+            return nullptr;
+        }
+    }
+    if (avformat_write_header(ctx->fmt, nullptr) < 0) {
+        avcodec_free_context(&ctx->codec);
+        avformat_free_context(ctx->fmt);
+        delete ctx;
+        return nullptr;
+    }
+    ctx->frame = av_frame_alloc();
+    ctx->frame->format = AV_PIX_FMT_YUV420P;
+    ctx->frame->width = width;
+    ctx->frame->height = height;
+    av_frame_get_buffer(ctx->frame, 0);
+    ctx->pkt = av_packet_alloc();
+    ctx->sws = sws_getContext(width, height,
+                              ctx->channels == 3 ? AV_PIX_FMT_RGB24 : AV_PIX_FMT_GRAY8,
+                              width, height, AV_PIX_FMT_YUV420P, SWS_BILINEAR,
+                              nullptr, nullptr, nullptr);
+    return ctx;
+}
+
+// Write one frame (uint8, H*W for gray or H*W*3 for rgb). Returns 0 on ok.
+int ve_write(void* handle, const uint8_t* data) {
+    auto* ctx = static_cast<EncCtx*>(handle);
+    if (!ctx) return -1;
+    if (av_frame_make_writable(ctx->frame) < 0) return -2;
+    const uint8_t* src_data[4] = {data, nullptr, nullptr, nullptr};
+    int src_linesize[4] = {ctx->width * ctx->channels, 0, 0, 0};
+    sws_scale(ctx->sws, src_data, src_linesize, 0, ctx->height, ctx->frame->data,
+              ctx->frame->linesize);
+    ctx->frame->pts = ctx->next_pts++;
+    if (avcodec_send_frame(ctx->codec, ctx->frame) < 0) return -3;
+    return enc_drain(ctx);
+}
+
+// Flush, write trailer, free. Returns 0 on ok.
+int ve_close(void* handle) {
+    auto* ctx = static_cast<EncCtx*>(handle);
+    if (!ctx) return -1;
+    int rc = 0;
+    if (ctx->codec) {
+        avcodec_send_frame(ctx->codec, nullptr);
+        rc = enc_drain(ctx);
+        av_write_trailer(ctx->fmt);
+    }
+    if (ctx->sws) sws_freeContext(ctx->sws);
+    if (ctx->frame) av_frame_free(&ctx->frame);
+    if (ctx->pkt) av_packet_free(&ctx->pkt);
+    if (ctx->codec) avcodec_free_context(&ctx->codec);
+    if (ctx->fmt) {
+        if (!(ctx->fmt->oformat->flags & AVFMT_NOFILE) && ctx->fmt->pb) avio_closep(&ctx->fmt->pb);
+        avformat_free_context(ctx->fmt);
+    }
+    delete ctx;
+    return rc;
+}
+
 }  // extern "C"

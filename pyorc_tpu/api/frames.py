@@ -346,30 +346,30 @@ class Frames(ORCBase):
     # -- output ------------------------------------------------------------
 
     def to_video(self, fn, video_format=None, fps=None, progress=True):
-        """Write frames to an mp4 video file. Reference frames.py:537-607."""
-        import cv2
+        """Write frames to an H.264 mp4 via the native libx264 encoder
+        (reference frames.py:537-607 used cv2.VideoWriter; ``video_format``
+        is accepted for signature compatibility and ignored — output is
+        always H.264/mp4)."""
         from tqdm import tqdm
 
-        if video_format is None:
-            video_format = cv2.VideoWriter_fourcc(*"mp4v")
+        from ..io.native_decoder import NativeVideoWriter
+
         if fps is None:
             diffs = np.diff(self._obj["time"].values)
             fps = 1.0 / diffs.mean() if len(diffs) else 25.0
         h, w = self._obj.shape[1], self._obj.shape[2]
-        out = cv2.VideoWriter(str(fn), video_format, fps, (w, h))
+        channels = 3 if self._obj.ndim == 4 else 1
         data = self._obj.data
-        for i in tqdm(range(self._obj.shape[0]), disable=not progress, desc="Writing video"):
-            frame = np.asarray(data[i])
-            if frame.ndim == 2:
-                f = frame.astype(np.float32)
-                fmin, fmax = np.nanmin(f), np.nanmax(f)
-                if fmax > fmin:
-                    f = (f - fmin) / (fmax - fmin) * 255
-                frame = cv2.cvtColor(f.astype(np.uint8), cv2.COLOR_GRAY2BGR)
-            else:
-                frame = cv2.cvtColor(frame.astype(np.uint8), cv2.COLOR_RGB2BGR)
-            out.write(frame)
-        out.release()
+        with NativeVideoWriter(str(fn), w, h, fps=float(fps), channels=channels) as out:
+            for i in tqdm(range(self._obj.shape[0]), disable=not progress, desc="Writing video"):
+                frame = np.asarray(data[i])
+                if frame.ndim == 2:
+                    f = frame.astype(np.float32)
+                    fmin, fmax = np.nanmin(f), np.nanmax(f)
+                    if fmax > fmin:
+                        f = (f - fmin) / (fmax - fmin) * 255
+                    frame = f
+                out.write(frame.astype(np.uint8))
 
     def to_ani(
         self,

@@ -73,6 +73,21 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double),
             ctypes.c_int64,
         ]
+        # H.264 encoder (ve_*) — older prebuilt libraries may lack it
+        if hasattr(lib, "ve_open"):
+            lib.ve_open.restype = ctypes.c_void_p
+            lib.ve_open.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_double,
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+            lib.ve_write.restype = ctypes.c_int
+            lib.ve_write.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
+            lib.ve_close.restype = ctypes.c_int
+            lib.ve_close.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return _LIB
 
@@ -188,6 +203,61 @@ class ParallelVideoReader:
         for r in self._readers:
             r.close()
         self._readers = []
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def encoder_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "ve_open")
+
+
+class NativeVideoWriter:
+    """H.264 (libx264) mp4 writer over the native library.
+
+    Replaces the reference's cv2.VideoWriter (reference
+    pyorc/api/frames.py:537-607) for `Frames.to_video`, and produces the
+    synthetic videos for the velocity-parity harness (a real H.264
+    round-trip keeps decoding in the loop).
+    """
+
+    def __init__(self, path: str, width: int, height: int, fps: float = 25.0,
+                 channels: int = 1, crf: int = 18):
+        lib = _load()
+        if lib is None or not hasattr(lib, "ve_open"):
+            raise RuntimeError("native encoder unavailable")
+        self._lib = lib
+        self._channels = 3 if channels == 3 else 1
+        self._shape = (height, width) if self._channels == 1 else (height, width, 3)
+        self._handle = lib.ve_open(path.encode(), int(width), int(height), float(fps),
+                                   self._channels, int(crf))
+        if not self._handle:
+            raise IOError(f"native encoder could not open {path}")
+
+    def write(self, frame: np.ndarray) -> None:
+        frame = np.ascontiguousarray(frame, dtype=np.uint8)
+        if frame.shape != self._shape:
+            raise ValueError(f"frame shape {frame.shape} != {self._shape}")
+        rc = self._lib.ve_write(self._handle, frame.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc != 0:
+            raise IOError(f"native encoder write failed (rc={rc})")
+
+    def close(self) -> None:
+        if self._handle:
+            rc = self._lib.ve_close(self._handle)
+            self._handle = None
+            if rc != 0:
+                raise IOError(f"native encoder close failed (rc={rc})")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def __del__(self):
         try:

@@ -37,11 +37,23 @@ class Frames(ORCBase):
 
     # -- device batching helper ------------------------------------------------------
 
-    def _map_device(self, fn, batch: int = 64):
-        """Apply a jitted per-frame op over the frame stack in device batches."""
+    def _map_device(self, fn, batch: int = 64, out_dtype=None):
+        """Apply a jitted per-frame op over the frame stack.
+
+        Lazy-backed stacks (video decode) stay LAZY: the op is appended to
+        the LazyFrames op chain and runs per batch inside the prefetch
+        thread, so decode -> filter chains stream through the PIV loop
+        without materializing the whole (potentially tens-of-GB) stack.
+        In-memory stacks are mapped eagerly in device batches.
+        """
         import jax
 
+        from .video import LazyFrames
+
         data = self._obj.data
+        if isinstance(data, LazyFrames):
+            op = lambda chunk: fn(jax.device_put(chunk))
+            return data.with_op(op, dtype=out_dtype)
         n = data.shape[0]
         outs = []
         for start in range(0, n, batch):
@@ -76,12 +88,19 @@ class Frames(ORCBase):
     def edge_detect(self, wdw_1: int = 1, wdw_2: int = 2) -> ndx.DataArray:
         stride_1 = wdw_1 * 2 + 1
         stride_2 = wdw_2 * 2 + 1
-        out = self._map_device(lambda f: flt.edge_detect(f, stride_1, stride_2))
-        return self._with_data(out.astype(np.float32))
+        out = self._map_device(lambda f: flt.edge_detect(f, stride_1, stride_2), out_dtype=np.float32)
+        if isinstance(out, np.ndarray):
+            out = out.astype(np.float32)
+        return self._with_data(out)
 
     def minmax(self, min: float = -np.inf, max: float = np.inf) -> ndx.DataArray:
-        out = self._map_device(lambda f: flt.minmax(f, float(min), float(max)))
-        return self._with_data(out.astype(self._obj.dtype))
+        dtype = self._obj.dtype
+        out = self._map_device(
+            lambda f: flt.minmax(f, float(min), float(max)).astype(dtype), out_dtype=dtype
+        )
+        if isinstance(out, np.ndarray):
+            out = out.astype(dtype)
+        return self._with_data(out)
 
     def range(self) -> ndx.DataArray:
         """Temporal intensity range per pixel (no time dimension)."""
@@ -107,8 +126,10 @@ class Frames(ORCBase):
 
     def smooth(self, wdw: int = 1) -> ndx.DataArray:
         stride = wdw * 2 + 1
-        out = self._map_device(lambda f: flt.gaussian_blur(f, stride))
-        return self._with_data(out.astype(np.float32))
+        out = self._map_device(lambda f: flt.gaussian_blur(f, stride), out_dtype=np.float32)
+        if isinstance(out, np.ndarray):
+            out = out.astype(np.float32)
+        return self._with_data(out)
 
     # -- projection ------------------------------------------------------------
 
@@ -154,15 +175,27 @@ class Frames(ORCBase):
                 out = np.asarray(ortho_ops.project_batch(chunk, maps))
             return out
 
+        from .video import LazyFrames
+
         data = self._obj.data
-        n = data.shape[0]
-        outs = []
-        batch = 32
-        for s in range(0, n, batch):
-            chunk = np.asarray(data[s : min(s + batch, n)])
-            outs.append(project_chunk(chunk))
-        out = np.concatenate(outs, axis=0)
-        out = np.nan_to_num(out).astype(src_dtype)
+        if isinstance(data, LazyFrames):
+            # projection rides the lazy op chain: decode -> filters -> ortho
+            # stream per batch in the prefetch thread (nothing stack-wide)
+            fshape = (len(y), len(x), 3) if is_rgb else (len(y), len(x))
+            out = data.with_op(
+                lambda chunk: np.nan_to_num(project_chunk(np.asarray(chunk))).astype(src_dtype),
+                frame_shape=fshape,
+                dtype=src_dtype,
+            )
+        else:
+            n = data.shape[0]
+            outs = []
+            batch = 32
+            for s in range(0, n, batch):
+                chunk = np.asarray(data[s : min(s + batch, n)])
+                outs.append(project_chunk(chunk))
+            out = np.concatenate(outs, axis=0)
+            out = np.nan_to_num(out).astype(src_dtype)
         dims = ("time", "y", "x", "rgb") if is_rgb else ("time", "y", "x")
         da_proj = ndx.DataArray(
             out,

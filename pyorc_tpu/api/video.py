@@ -33,12 +33,27 @@ class LazyFrames:
     batches for the PIV loop.
     """
 
-    def __init__(self, video: "Video", method: str, indices: np.ndarray, frame_shape, dtype=np.uint8):
+    def __init__(self, video: "Video", method: str, indices: np.ndarray, frame_shape, dtype=np.uint8, ops=None):
         self._video = video
         self._method = method
         self._indices = np.asarray(indices)  # positions into video.frame_number
         self._frame_shape = tuple(frame_shape)
         self.dtype = np.dtype(dtype)
+        # per-batch post-decode ops (filters, projection): applied inside
+        # read_batch, so the whole decode->filter->project chain runs in the
+        # prefetch thread and streams — nothing is materialized stack-wide
+        self._ops = list(ops) if ops else []
+
+    def with_op(self, fn, frame_shape=None, dtype=None) -> "LazyFrames":
+        """A new view applying ``fn`` (ndarray batch -> ndarray batch) on read."""
+        return LazyFrames(
+            self._video,
+            self._method,
+            self._indices,
+            frame_shape if frame_shape is not None else self._frame_shape,
+            dtype if dtype is not None else self.dtype,
+            ops=self._ops + [fn],
+        )
 
     @property
     def shape(self):
@@ -54,7 +69,12 @@ class LazyFrames:
     def read_batch(self, i0: int, i1: int) -> np.ndarray:
         """Decode frames [i0:i1] (positions within this LazyFrames view)."""
         idxs = self._indices[i0:i1]
-        return self._video._decode_frames(idxs, self._method)
+        out = self._video._decode_frames(idxs, self._method)
+        for fn in self._ops:
+            # ops may hand device arrays to each other (saves host round
+            # trips between chained filters); consumers always see numpy
+            out = fn(out)
+        return np.asarray(out)
 
     def iter_batches(self, batch_size: int, overlap: int = 0, prefetch: int = 2):
         """Yield (start, batch) with `overlap` trailing frames repeated between batches."""
@@ -82,15 +102,15 @@ class LazyFrames:
             tkey = key
             rest = ()
         if isinstance(tkey, slice):
-            sub = LazyFrames(self._video, self._method, self._indices[tkey], self._frame_shape, self.dtype)
+            sub = LazyFrames(self._video, self._method, self._indices[tkey], self._frame_shape, self.dtype, ops=self._ops)
             if rest and any(k != slice(None) for k in rest):
                 return np.asarray(sub)[(slice(None),) + rest]
             return sub
         if np.ndim(tkey) == 0:
-            frame = self._video._decode_frames(self._indices[int(tkey) : int(tkey) + 1], self._method)[0]
+            frame = self.read_batch(int(tkey), int(tkey) + 1)[0]
             return frame[rest] if rest else frame
         arr = np.asarray(tkey)
-        sub = LazyFrames(self._video, self._method, self._indices[arr], self._frame_shape, self.dtype)
+        sub = LazyFrames(self._video, self._method, self._indices[arr], self._frame_shape, self.dtype, ops=self._ops)
         if rest and any(k != slice(None) for k in rest):
             return np.asarray(sub)[(slice(None),) + rest]
         return sub
@@ -99,7 +119,7 @@ class LazyFrames:
         return np.asarray(self).astype(dtype)
 
     def copy(self):
-        return LazyFrames(self._video, self._method, self._indices.copy(), self._frame_shape, self.dtype)
+        return LazyFrames(self._video, self._method, self._indices.copy(), self._frame_shape, self.dtype, ops=self._ops)
 
     def __repr__(self):
         return f"<LazyFrames {self.shape} {self.dtype} of {self._video.fn}>"

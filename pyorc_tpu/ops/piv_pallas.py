@@ -268,8 +268,9 @@ def _kernel(
     pack: int,  # windows packed per MXU-tile axis (1 = packing disabled)
     band_h: int,  # DMA height: wy (+ alignment slack for odd step_y), round8
     col_chunk: int,
+    pair_stride: int,  # 1: consecutive frames; 2: interleaved (a0,b0,a1,b1..)
 ):
-    pair = pl.program_id(0)
+    pair = pl.program_id(0) * pair_stride
     band0 = b0_ref[0]
     cy = cy_ref[:]
     sy = sy_ref[:]
@@ -495,8 +496,9 @@ def _tb_kernel(
     n_rows: int,
     n_cols: int,
     band_h: int,
+    pair_stride: int,  # 1: consecutive frames; 2: interleaved (a0,b0,a1,b1..)
 ):
-    pair = pl.program_id(0)
+    pair = pl.program_id(0) * pair_stride
     band0 = b0_ref[0]
     pmx = pmx_ref[:]
     pmy = pmy_ref[:]
@@ -693,13 +695,14 @@ def _tb_kernel(
     jax.lax.fori_loop(0, n_rows, loop_body, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 4, 5, 6))
-def _piv_pairs_tb_jit(imgs, sas, steps, band0, nb, n_cols, interpret):
+@functools.partial(jax.jit, static_argnums=(1, 2, 4, 5, 6, 7))
+def _piv_pairs_tb_jit(imgs, sas, steps, band0, nb, n_cols, interpret, pair_stride=1):
     """Tileband variant of _piv_pairs_fused_jit (50%-overlap square windows)."""
     wy, wx = sas
     step_y, step_x = steps
     w = wx
-    n_pairs = imgs.shape[0] - 1
+    t = imgs.shape[0]
+    n_pairs = t // pair_stride if pair_stride > 1 else t - 1
     _, band_h = _fused_plan(wy, wx, step_y)
     py, px = _tb_shape(w)
     wp = -(-w // 8) * 8
@@ -715,7 +718,7 @@ def _piv_pairs_tb_jit(imgs, sas, steps, band0, nb, n_cols, interpret):
 
     kernel = functools.partial(
         _tb_kernel, w=w, step_y=step_y, step_x=step_x, n_rows=nb, n_cols=n_cols,
-        band_h=band_h,
+        band_h=band_h, pair_stride=pair_stride,
     )
     out_shape = [jax.ShapeDtypeStruct((n_pairs, nb, n_cols), jnp.float32) for _ in range(4)]
     out_spec = pl.BlockSpec((1, nb, n_cols), lambda p_: (p_, 0, 0), memory_space=pltpu.VMEM)
@@ -761,8 +764,13 @@ def piv_pairs_fused(
     n_cols: int,
     signal_threshold: Optional[float] = None,
     interpret: bool = False,
+    pair_stride: int = 1,
 ):
     """Fused-kernel PIV: frames [T,H,W] -> (u, v, corr_max, s2n) [T-1, n_rows, n_cols].
+
+    ``pair_stride=2`` correlates interleaved explicit pairs (a0,b0,a1,b1,...)
+    — used by multi-pass PIV, whose deformed pair stacks are not consecutive
+    frames — yielding [T//2, ...] outputs.
 
     Falls back to the XLA-composed pipeline when the window grid does not
     match the strided fast-path layout or a signal_threshold is requested.
@@ -774,6 +782,11 @@ def piv_pairs_fused(
     step_y = piv_ops._strided_axis_starts(np.asarray(row0), wy)
     step_x = piv_ops._strided_axis_starts(np.asarray(col0), wx)
     if not _fused_geometry_ok(wy, wx, step_y, step_x) or signal_threshold is not None:
+        if pair_stride != 1:
+            u, v, cmax, s2n = piv_ops.piv_pairs(
+                imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold
+            )
+            return u[::pair_stride], v[::pair_stride], cmax[::pair_stride], s2n[::pair_stride]
         return piv_ops.piv_pairs(imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold)
     pack, band_h = _fused_plan(wy, wx, step_y)
     # strip planning: the per-pair output blocks live in VMEM for the whole
@@ -791,7 +804,8 @@ def piv_pairs_fused(
     while nb_max >= 4:
         try:
             return _piv_pairs_fused_strips(
-                imgs, (wy, wx), (step_y, step_x), n_rows, n_cols, nb_max, bool(interpret)
+                imgs, (wy, wx), (step_y, step_x), n_rows, n_cols, nb_max, bool(interpret),
+                int(pair_stride),
             )
         except Exception as e:
             last_err = e
@@ -811,7 +825,10 @@ def piv_pairs_fused(
         "falling back to the XLA pipeline.",
         stacklevel=2,
     )
-    return piv_ops.piv_pairs(imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold)
+    u, v, cmax, s2n = piv_ops.piv_pairs(imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold)
+    if pair_stride != 1:
+        return u[::pair_stride], v[::pair_stride], cmax[::pair_stride], s2n[::pair_stride]
+    return u, v, cmax, s2n
 
 
 def _fused_geometry_ok(wy, wx, step_y, step_x) -> bool:
@@ -858,7 +875,7 @@ def _tileband_ok(wy: int, wx: int, step_x: int, pack: int) -> bool:
     return wy == wx and 2 * step_x == wx and 8 <= wx < 32
 
 
-def _piv_pairs_fused_strips(imgs, sas, steps, n_rows, n_cols, nb_max, interpret):
+def _piv_pairs_fused_strips(imgs, sas, steps, n_rows, n_cols, nb_max, interpret, pair_stride=1):
     # pad ONCE, globally: the band DMA needs the lane (width) extent to be a
     # multiple of the 128-lane tiling, the last band's buffer may read past
     # the frame bottom, and the tileband build slices p windows at once (up
@@ -875,11 +892,11 @@ def _piv_pairs_fused_strips(imgs, sas, steps, n_rows, n_cols, nb_max, interpret)
     if pad_w or pad_h:
         imgs = jnp.pad(imgs, ((0, 0), (0, pad_h), (0, pad_w)))
     if n_rows <= nb_max:
-        return jit_fn(imgs, sas, steps, 0, n_rows, n_cols, interpret)
+        return jit_fn(imgs, sas, steps, 0, n_rows, n_cols, interpret, pair_stride)
     outs = []
     for b0 in range(0, n_rows, nb_max):
         nb = min(nb_max, n_rows - b0)
-        outs.append(jit_fn(imgs, sas, steps, b0, nb, n_cols, interpret))
+        outs.append(jit_fn(imgs, sas, steps, b0, nb, n_cols, interpret, pair_stride))
     return tuple(jnp.concatenate([o[k] for o in outs], axis=1) for k in range(4))
 
 
@@ -902,12 +919,12 @@ def _packed_mats(wy: int, wx: int, pack: int) -> np.ndarray:
     )
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 4, 5, 6))
-def _piv_pairs_fused_jit(imgs, sas, steps, band0, nb, n_cols, interpret):
+@functools.partial(jax.jit, static_argnums=(1, 2, 4, 5, 6, 7))
+def _piv_pairs_fused_jit(imgs, sas, steps, band0, nb, n_cols, interpret, pair_stride=1):
     wy, wx = sas
     step_y, step_x = steps
     t = imgs.shape[0]
-    n_pairs = t - 1
+    n_pairs = t // pair_stride if pair_stride > 1 else t - 1
     pack, band_h = _fused_plan(wy, wx, step_y)
     col_chunk, _ = _chunk_plan(n_cols, wy, wx, pack)
     cy, sy = (jnp.asarray(m) for m in _dft_mats(wy))
@@ -921,7 +938,7 @@ def _piv_pairs_fused_jit(imgs, sas, steps, band0, nb, n_cols, interpret):
 
     kernel = functools.partial(
         _kernel, wy=wy, wx=wx, step_y=step_y, step_x=step_x, n_rows=nb, n_cols=n_cols,
-        pack=pack, band_h=band_h, col_chunk=col_chunk,
+        pack=pack, band_h=band_h, col_chunk=col_chunk, pair_stride=pair_stride,
     )
     out_shape = [jax.ShapeDtypeStruct((n_pairs, nb, n_cols), jnp.float32) for _ in range(4)]
     out_spec = pl.BlockSpec((1, nb, n_cols), lambda p: (p, 0, 0), memory_space=pltpu.VMEM)

@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import piv as piv_ops
 from ..ops import windows as win
 
-__all__ = ["make_mesh", "piv_pairs_sharded", "piv_ensemble_sharded", "pad_pairs_for_devices"]
+__all__ = ["make_mesh", "piv_pairs_sharded", "piv_ensemble_sharded", "piv_multipass_sharded", "pad_pairs_for_devices"]
 
 
 def _pcast_varying(x, axis: str):
@@ -196,3 +196,55 @@ def piv_ensemble_sharded(
     corr_max = np.asarray(corr_max).reshape(-1, n_rows, n_cols)[:n_pairs]
     s2n = np.asarray(s2n).reshape(-1, n_rows, n_cols)[:n_pairs]
     return np.asarray(corr_sum), np.asarray(corr_count), corr_max, s2n
+
+
+def piv_multipass_sharded(
+    imgs: np.ndarray,
+    window_size: Tuple[int, int],
+    overlap: Tuple[int, int],
+    search_area_size: Optional[Tuple[int, int]] = None,
+    mesh: Optional[Mesh] = None,
+    passes: int = 2,
+    signal_threshold: Optional[float] = None,
+    corr_method: str = "auto",
+):
+    """Multi-pass deformation PIV sharded over frame pairs.
+
+    Pairs stay embarrassingly parallel across passes (each pair's
+    deformation depends only on its own displacement history), so the whole
+    cascade runs per shard with no collectives — same halo construction as
+    :func:`piv_pairs_sharded` (BASELINE config 4: multi-pass adaptive PIV on
+    a v5e-8 mesh).
+
+    Returns (u, v, corr_max, s2n) each [n_pairs, n_rows, n_cols] (numpy).
+    """
+    from ..ops import multipass
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    sas = tuple(win._as2(window_size if search_area_size is None else search_area_size))
+    ov = tuple(win._as2(overlap))
+    dim_size = imgs.shape[-2:]
+    n_rows, n_cols = win.get_field_shape(dim_size, sas, ov)
+    stacked, n_pairs = pad_pairs_for_devices(np.asarray(imgs), n_dev)
+    method = piv_ops.default_corr_method() if corr_method == "auto" else corr_method
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P("pairs"),
+        out_specs=P("pairs"),
+        check_vma=False,
+    )
+    def run(frames_dev):
+        u, v, cmax, s2n = multipass.piv_multipass(
+            frames_dev[0], dim_size, sas, ov, n_rows, n_cols,
+            passes=passes, signal_threshold=signal_threshold,
+            corr_method=method, engine="xla",
+        )
+        return u[None], v[None], cmax[None], s2n[None]
+
+    sharding = NamedSharding(mesh, P("pairs"))
+    stacked_dev = jax.device_put(stacked, sharding)
+    u, v, cmax, s2n = jax.jit(run)(stacked_dev)
+    return tuple(np.asarray(a).reshape(-1, n_rows, n_cols)[:n_pairs] for a in (u, v, cmax, s2n))

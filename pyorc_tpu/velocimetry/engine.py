@@ -194,27 +194,35 @@ def _piv_timestep(
     from ..ops import multipass, piv_pallas
 
     # the fused Pallas kernel is the fast path on TPU backends; the XLA
-    # pipeline covers CPU, non-strided window grids, and multi-pass runs
-    use_fused = passes == 1 and jax.default_backend() not in ("cpu",)
+    # pipeline covers CPU and non-strided window grids. Multi-pass runs
+    # route their per-pass correlations through the kernel too.
+    use_fused = jax.default_backend() not in ("cpu",)
     dt_vals = np.asarray(dt.values if hasattr(dt, "values") else dt, dtype=np.float64)
     us, vs, cms, s2ns = [], [], [], []
     pbar = tqdm(total=data.shape[0] - 1, desc="PIV (per frame pair)", position=0, leave=True)
-    use_sharded = _shard_enabled() and passes == 1
+    use_sharded = _shard_enabled()
 
     def run_one(frames_np):
         if use_sharded:
             from .. import parallel
 
+            if passes > 1:
+                return parallel.piv_multipass_sharded(
+                    np.asarray(frames_np), sas, ov, sas, passes=passes,
+                    signal_threshold=signal_threshold,
+                )
             return parallel.piv_pairs_sharded(
                 np.asarray(frames_np), sas, ov, sas, signal_threshold=signal_threshold
             )
         dev = jax.device_put(np.asarray(frames_np))
-        if use_fused:
-            return piv_pallas.piv_pairs_fused(dev, dim_size, sas, ov, n_rows, n_cols, signal_threshold)
         if passes > 1:
             return multipass.piv_multipass(
-                dev, dim_size, sas, ov, n_rows, n_cols, passes=passes, signal_threshold=signal_threshold
+                dev, dim_size, sas, ov, n_rows, n_cols, passes=passes,
+                signal_threshold=signal_threshold,
+                engine="fused" if use_fused else "xla",
             )
+        if use_fused:
+            return piv_pallas.piv_pairs_fused(dev, dim_size, sas, ov, n_rows, n_cols, signal_threshold)
         return piv_ops.piv_pairs(dev, dim_size, sas, ov, n_rows, n_cols, signal_threshold)
 
     for start, chunk in _iter_chunks(data, chunksize):

@@ -68,3 +68,28 @@ def test_sharded_fused_kernel_matches_xla(rng):
     out_fused = par.piv_pairs_sharded(frames, (32, 32), (16, 16), engine="fused-interpret")
     for a, b in zip(out_xla, out_fused):
         assert np.allclose(a, b, atol=1e-3, equal_nan=True)
+
+
+def test_multipass_sharded_matches_single(rng):
+    """Sharded multipass over the 8-way CPU mesh matches the single-device
+    cascade (pairs stay independent across passes; no collectives)."""
+    import jax
+
+    from pyorc_tpu import parallel
+    from pyorc_tpu.ops import multipass, windows as win_mod
+    from tests.test_piv import make_particle_image, shift_image
+
+    img = make_particle_image(rng, 96, 160)
+    imgs = np.stack([shift_image(img, 1.3 * t, -0.8 * t) for t in range(6)]).astype(np.float32)
+    h, w = img.shape
+    n_rows, n_cols = win_mod.get_field_shape((h, w), (32, 32), (16, 16))
+    mesh = parallel.make_mesh(jax.devices()[:4])
+    u8, v8, c8, s8 = parallel.piv_multipass_sharded(imgs, (32, 32), (16, 16), mesh=mesh, passes=2)
+    u1, v1, c1, s1 = (
+        np.asarray(t)
+        for t in multipass.piv_multipass(imgs, (h, w), (32, 32), (16, 16), n_rows, n_cols, passes=2)
+    )
+    assert u8.shape == u1.shape == (5, n_rows, n_cols)
+    assert np.allclose(u8, u1, atol=1e-3, equal_nan=True)
+    assert np.allclose(v8, v1, atol=1e-3, equal_nan=True)
+    assert np.allclose(c8, c1, atol=1e-3)

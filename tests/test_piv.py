@@ -430,3 +430,26 @@ def test_fused_ensemble_unsupported_geometry_falls_back(rng):
     out = piv_pallas.piv_ensemble_fused(frames, (96, 128), (32, 16), (16, 8), n_rows, n_cols)
     for a, b in zip(ref, out):
         assert np.allclose(np.asarray(a), np.asarray(b), equal_nan=True)
+
+
+def test_multipass_fused_matches_xla(rng):
+    """The fused-kernel multipass path (interpret mode) matches the XLA
+    cascade: same deformation/validation stages, correlation swapped for the
+    pair_stride=2 interleaved Pallas kernel."""
+    from pyorc_tpu.ops import multipass, windows as win_mod
+
+    img_a = make_particle_image(rng, 128, 192)
+    h, w = img_a.shape
+    imgs = np.stack([img_a, shift_image(img_a, 2.3, -1.7), shift_image(img_a, 4.1, -3.0)])
+    n_rows, n_cols = win_mod.get_field_shape((h, w), (32, 32), (16, 16))
+    out_x = [np.asarray(t) for t in multipass.piv_multipass(
+        imgs, (h, w), (32, 32), (16, 16), n_rows, n_cols, passes=2, corr_method="matmul", engine="xla"
+    )]
+    out_f = [np.asarray(t) for t in multipass.piv_multipass(
+        imgs, (h, w), (32, 32), (16, 16), n_rows, n_cols, passes=2, engine="fused-interpret"
+    )]
+    for name, x, f in zip(("u", "v", "cmax", "s2n"), out_x, out_f):
+        assert x.shape == f.shape, name
+    for x, f in zip(out_x[:2], out_f[:2]):
+        d = np.abs(x - f)[np.isfinite(x) & np.isfinite(f)]
+        assert np.quantile(d, 0.9) < 0.05

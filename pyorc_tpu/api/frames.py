@@ -166,13 +166,15 @@ class Frames(ORCBase):
         src_dtype = self._obj.dtype
 
         def project_chunk(chunk):
+            import jax.numpy as jnp
+
             if is_rgb:
-                out = np.stack(
-                    [np.asarray(ortho_ops.project_batch(chunk[..., b], maps)) for b in range(chunk.shape[-1])],
+                out = jnp.stack(
+                    [ortho_ops.project_batch(chunk[..., b], maps) for b in range(chunk.shape[-1])],
                     axis=-1,
                 )
             else:
-                out = np.asarray(ortho_ops.project_batch(chunk, maps))
+                out = ortho_ops.project_batch(chunk, maps)
             return out
 
         from .video import LazyFrames
@@ -180,10 +182,13 @@ class Frames(ORCBase):
         data = self._obj.data
         if isinstance(data, LazyFrames):
             # projection rides the lazy op chain: decode -> filters -> ortho
-            # stream per batch in the prefetch thread (nothing stack-wide)
+            # stream per batch in the prefetch thread, staying device-resident
+            import jax
+            import jax.numpy as jnp
+
             fshape = (len(y), len(x), 3) if is_rgb else (len(y), len(x))
             out = data.with_op(
-                lambda chunk: np.nan_to_num(project_chunk(np.asarray(chunk))).astype(src_dtype),
+                lambda chunk: jnp.nan_to_num(project_chunk(jax.device_put(chunk))).astype(src_dtype),
                 frame_shape=fshape,
                 dtype=src_dtype,
             )
@@ -193,7 +198,7 @@ class Frames(ORCBase):
             batch = 32
             for s in range(0, n, batch):
                 chunk = np.asarray(data[s : min(s + batch, n)])
-                outs.append(project_chunk(chunk))
+                outs.append(np.asarray(project_chunk(chunk)))
             out = np.concatenate(outs, axis=0)
             out = np.nan_to_num(out).astype(src_dtype)
         dims = ("time", "y", "x", "rgb") if is_rgb else ("time", "y", "x")

@@ -71,10 +71,11 @@ class LazyFrames:
         idxs = self._indices[i0:i1]
         out = self._video._decode_frames(idxs, self._method)
         for fn in self._ops:
-            # ops may hand device arrays to each other (saves host round
-            # trips between chained filters); consumers always see numpy
+            # ops hand DEVICE arrays to each other and to the consumer: the
+            # decode->filter->project->PIV chain pays exactly one host->device
+            # upload (the decoded uint8 batch) and zero downloads
             out = fn(out)
-        return np.asarray(out)
+        return out
 
     def iter_batches(self, batch_size: int, overlap: int = 0, prefetch: int = 2):
         """Yield (start, batch) with `overlap` trailing frames repeated between batches."""
@@ -91,7 +92,7 @@ class LazyFrames:
         yield from fetcher
 
     def __array__(self, dtype=None, copy=None):
-        out = self.read_batch(0, len(self))
+        out = np.asarray(self.read_batch(0, len(self)))
         return out.astype(dtype) if dtype is not None else out
 
     def __getitem__(self, key):
@@ -107,7 +108,7 @@ class LazyFrames:
                 return np.asarray(sub)[(slice(None),) + rest]
             return sub
         if np.ndim(tkey) == 0:
-            frame = self.read_batch(int(tkey), int(tkey) + 1)[0]
+            frame = np.asarray(self.read_batch(int(tkey), int(tkey) + 1))[0]
             return frame[rest] if rest else frame
         arr = np.asarray(tkey)
         sub = LazyFrames(self._video, self._method, self._indices[arr], self._frame_shape, self.dtype, ops=self._ops)
@@ -117,6 +118,9 @@ class LazyFrames:
 
     def astype(self, dtype):
         return np.asarray(self).astype(dtype)
+
+    def read_batch_np(self, i0: int, i1: int) -> np.ndarray:
+        return np.asarray(self.read_batch(i0, i1))
 
     def copy(self):
         return LazyFrames(self._video, self._method, self._indices.copy(), self._frame_shape, self.dtype, ops=self._ops)
@@ -437,7 +441,14 @@ class Video:
                     from ..io import native_decoder
 
                     if native_decoder.available():
-                        workers = int(os.environ.get("PYORC_TPU_DECODE_WORKERS", "1"))
+                        workers_env = os.environ.get("PYORC_TPU_DECODE_WORKERS", "auto")
+                        if workers_env == "auto":
+                            # GOP-parallel decode pays off for long high-res
+                            # sources; short/small clips keep one decoder
+                            big = (self.height or 0) >= 1080 and len(self.frame_number) >= 64
+                            workers = min(6, os.cpu_count() or 1) if big else 1
+                        else:
+                            workers = int(workers_env)
                         if workers > 1:
                             # GOP-parallel segment decode: the ingest fast path
                             # for high-resolution sources on many-core hosts

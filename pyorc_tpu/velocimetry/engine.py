@@ -226,7 +226,7 @@ def _piv_timestep(
         return piv_ops.piv_pairs(dev, dim_size, sas, ov, n_rows, n_cols, signal_threshold)
 
     for start, chunk in _iter_chunks(data, chunksize):
-        u, v, cmax, s2n = _run_chunk_oom_backoff(run_one, np.asarray(chunk))
+        u, v, cmax, s2n = _run_chunk_oom_backoff(run_one, chunk)
         us.append(np.asarray(u))
         vs.append(np.asarray(v))
         cms.append(np.asarray(cmax))

@@ -272,3 +272,29 @@ def test_plot_methods(cs, camera_config):
     import matplotlib.pyplot as plt
 
     plt.close("all")
+
+
+def test_batched_water_level_scores_match_host(cs):
+    """The device-batched candidate scorer tracks the per-candidate host path
+    (same optimum; scores within rasterization tolerance) on the fixture."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, size=(1080, 1920), dtype=np.uint8)
+    l_min, l_max = cs.get_line_of_interest(bank="far")
+    l_range, _ = cs._preprocess_l_range(l_min=l_min, l_max=l_max, ds_max=0.5, dz_max=0.02)
+    host = np.array(
+        [
+            cs.get_histogram_score(
+                x=[l], img=img, bin_size=5, offset=0.0, padding=0.5, length=2.0,
+                min_z=None, max_z=None,
+            )
+            for l in l_range
+        ]
+    )
+    batched = cs._scores_batched(img, l_range, bin_size=5, offset=0.0, padding=0.5, length=2.0)
+    # random-noise imagery produces many thin slivers near the min_samples
+    # threshold where the two rasterizers legitimately disagree
+    both = (host < 1.99) & (batched < 1.99)
+    assert both.mean() > 0.5
+    assert np.abs(host[both] - batched[both]).max() < 0.08
+    # optimum within one grid step of the host path's
+    assert abs(int(np.argmin(host)) - int(np.argmin(batched))) <= 1

@@ -7,6 +7,13 @@ the prefetch thread while the PIV kernel occupies the device). The v5e-8
 figure is an EXTRAPOLATION (PIV pair-sharding is embarrassingly parallel; see
 pyorc_tpu/parallel) and is labeled as such.
 
+Environment caveats the numbers carry: this dev container exposes ONE cpu
+core (4K H.264 decode is ~4 fps/core; production hosts bring 32-96 cores and
+the GOP-parallel reader scales with them) and reaches the TPU through a
+tunnel that costs ~100 ms + limited bandwidth per transfer (production hosts
+sit on PCIe). The chip-bound PIV rate itself is measured separately by
+bench.py with on-device data.
+
 The clip is synthesized once (particle texture advected at a known speed,
 H.264 via the native libx264 writer) and cached under /tmp. Run with
 ``--seconds 10`` for a quick pass; default is the full 60 s workload.
@@ -172,6 +179,7 @@ def main():
                 "clip_render_s": round(t_render, 1),
                 "est_v5e8_seconds_extrapolated": round(est_v5e8, 2),
                 "n_frames": n_frames,
+                "host_cores": os.cpu_count(),
             }
         )
     )

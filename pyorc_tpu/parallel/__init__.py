@@ -7,6 +7,6 @@ averaging is a single ``psum`` over the pair axis (the only cross-device
 collective the pipeline needs, riding ICI).
 """
 
-from .piv import make_mesh, piv_ensemble_sharded, piv_multipass_sharded, piv_pairs_sharded
+from .piv import make_mesh, piv_ensemble_sharded, piv_multipass_sharded, piv_pairs_sharded, piv_pairs_sharded_2d
 
-__all__ = ["make_mesh", "piv_pairs_sharded", "piv_ensemble_sharded", "piv_multipass_sharded"]
+__all__ = ["make_mesh", "piv_pairs_sharded", "piv_ensemble_sharded", "piv_multipass_sharded", "piv_pairs_sharded_2d"]

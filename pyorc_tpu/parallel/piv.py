@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import piv as piv_ops
 from ..ops import windows as win
 
-__all__ = ["make_mesh", "piv_pairs_sharded", "piv_ensemble_sharded", "piv_multipass_sharded", "pad_pairs_for_devices"]
+__all__ = ["make_mesh", "piv_pairs_sharded", "piv_ensemble_sharded", "piv_multipass_sharded", "piv_pairs_sharded_2d", "pad_pairs_for_devices"]
 
 
 def _pcast_varying(x, axis: str):
@@ -248,3 +248,111 @@ def piv_multipass_sharded(
     stacked_dev = jax.device_put(stacked, sharding)
     u, v, cmax, s2n = jax.jit(run)(stacked_dev)
     return tuple(np.asarray(a).reshape(-1, n_rows, n_cols)[:n_pairs] for a in (u, v, cmax, s2n))
+
+
+def pad_rows_for_devices(
+    imgs: np.ndarray, n_dev_rows: int, wy: int, step_y: int, n_rows: int
+) -> Tuple[np.ndarray, int]:
+    """Slice frames into per-device row slabs [Dr, T, H_slab, W].
+
+    Bands overlap by (wy - step_y) rows at 50% overlap, so adjacent slabs
+    carry a halo built host-side from overlapping slices (same approach as
+    the pair axis; no device-side halo exchange needed). The band count is
+    padded to a multiple of n_dev_rows with bottom padding; padded bands are
+    dropped by the caller.
+    """
+    nb_per = -(-n_rows // n_dev_rows)
+    nb_total = nb_per * n_dev_rows
+    h_slab = (nb_per - 1) * step_y + wy
+    h_needed = (nb_total - 1) * step_y + wy
+    if imgs.shape[-2] < h_needed:
+        pad = h_needed - imgs.shape[-2]
+        imgs = np.concatenate(
+            [imgs, np.zeros(imgs.shape[:-2] + (pad,) + imgs.shape[-1:], imgs.dtype)], axis=-2
+        )
+    slabs = [
+        imgs[..., d * nb_per * step_y : d * nb_per * step_y + h_slab, :]
+        for d in range(n_dev_rows)
+    ]
+    return np.stack(slabs), nb_per
+
+
+def piv_pairs_sharded_2d(
+    imgs: np.ndarray,
+    window_size: Tuple[int, int],
+    overlap: Tuple[int, int],
+    search_area_size: Optional[Tuple[int, int]] = None,
+    mesh: Optional[Mesh] = None,
+    signal_threshold: Optional[float] = None,
+    engine: str = "auto",
+):
+    """Per-timestep PIV over a 2-D (pairs, rows) device mesh.
+
+    SURVEY §2.4 bullet 2: for large rasters (4K frames) the window-grid row
+    bands shard across the second mesh axis — tiles are cut on window
+    boundaries with a (wy - step_y)-row host-side halo, so the per-device
+    kernel is embarrassingly parallel and the path needs NO collectives.
+    Composes with pair sharding on the first axis.
+
+    Returns (u, v, corr_max, s2n) each [n_pairs, n_rows, n_cols] (numpy).
+    """
+    import jax as _jax
+
+    from ..ops import piv as piv_mod
+
+    if mesh is None:
+        devs = np.asarray(jax.devices())
+        mesh = Mesh(devs.reshape(-1, 2), ("pairs", "rows")) if devs.size % 2 == 0 else Mesh(
+            devs.reshape(-1, 1), ("pairs", "rows")
+        )
+    dp, dr = mesh.devices.shape
+    sas = tuple(win._as2(window_size if search_area_size is None else search_area_size))
+    ov = tuple(win._as2(overlap))
+    dim_size = imgs.shape[-2:]
+    n_rows, n_cols = win.get_field_shape(dim_size, sas, ov)
+    row0, _ = win.get_window_starts(dim_size, sas, ov)
+    step_y = piv_mod._strided_axis_starts(np.asarray(row0), sas[0])
+    if step_y is None:
+        raise ValueError("2-D sharding needs a uniform strided window grid")
+    if engine == "auto":
+        engine = "fused" if _jax.default_backend() not in ("cpu",) else "xla"
+
+    stacked_pairs, n_pairs = pad_pairs_for_devices(np.asarray(imgs), dp)  # [Dp, P+1, H, W]
+    slabs, nb_per = pad_rows_for_devices(stacked_pairs, dr, sas[0], step_y, n_rows)
+    # [Dr, Dp, P+1, Hs, W] -> [Dp, Dr, P+1, Hs, W]
+    slabs = np.moveaxis(slabs, 0, 1)
+    slab_dims = slabs.shape[-2:]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P("pairs", "rows"),
+        out_specs=P("pairs", "rows"),
+        check_vma=False,
+    )
+    def run(frames_dev):
+        frames = frames_dev[0, 0]  # [P+1, Hs, W]
+        if engine.startswith("fused"):
+            from ..ops import piv_pallas
+
+            u, v, cmax, s2n = piv_pallas.piv_pairs_fused(
+                frames, slab_dims, sas, ov, nb_per, n_cols, signal_threshold,
+                interpret=(engine == "fused-interpret"),
+            )
+        else:
+            u, v, cmax, s2n = piv_mod.piv_pairs(
+                frames, slab_dims, sas, ov, nb_per, n_cols, signal_threshold
+            )
+        return u[None, None], v[None, None], cmax[None, None], s2n[None, None]
+
+    sharding = NamedSharding(mesh, P("pairs", "rows"))
+    slabs_dev = jax.device_put(slabs, sharding)
+    u, v, cmax, s2n = jax.jit(run)(slabs_dev)
+
+    def fix(a):
+        a = np.asarray(a)  # [Dp, Dr, P, nb_per, n_cols]
+        a = np.concatenate([a[:, d] for d in range(dr)], axis=2)  # rows back together
+        a = a.reshape(-1, a.shape[-2], a.shape[-1])
+        return a[:n_pairs, :n_rows]
+
+    return fix(u), fix(v), fix(cmax), fix(s2n)

@@ -93,3 +93,28 @@ def test_multipass_sharded_matches_single(rng):
     assert np.allclose(u8, u1, atol=1e-3, equal_nan=True)
     assert np.allclose(v8, v1, atol=1e-3, equal_nan=True)
     assert np.allclose(c8, c1, atol=1e-3)
+
+
+def test_pairs_sharded_2d_matches_single(rng):
+    """(pairs, rows) 2-D mesh: row slabs cut on window boundaries with a
+    host-side halo reproduce the single-device field exactly."""
+    import jax
+    from jax.sharding import Mesh
+
+    from pyorc_tpu import parallel
+    from pyorc_tpu.ops import piv, windows as win_mod
+    from tests.test_piv import make_particle_image, shift_image
+
+    img = make_particle_image(rng, 160, 192)
+    imgs = np.stack([shift_image(img, 1.5 * t, -t) for t in range(5)]).astype(np.float32)
+    h, w = img.shape
+    n_rows, n_cols = win_mod.get_field_shape((h, w), (32, 32), (16, 16))
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("pairs", "rows"))
+    u2, v2, c2, s2 = parallel.piv_pairs_sharded_2d(imgs, (32, 32), (16, 16), mesh=mesh)
+    u1, v1, c1, s1 = (
+        np.asarray(t) for t in piv.piv_pairs(imgs, (h, w), (32, 32), (16, 16), n_rows, n_cols)
+    )
+    assert u2.shape == u1.shape == (4, n_rows, n_cols)
+    assert np.allclose(u2, u1, atol=1e-4, equal_nan=True)
+    assert np.allclose(v2, v1, atol=1e-4, equal_nan=True)
+    assert np.allclose(c2, c1, atol=1e-5)

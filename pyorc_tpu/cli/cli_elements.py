@@ -92,6 +92,39 @@ class GcpSelect(BaseSelect):
         (self.est_plot,) = self.ax.plot([], [], "co", markersize=8, fillstyle="none")
         self.camera_matrix_fit = None
         self.dist_coeffs_fit = None
+        if crs is not None:
+            self._add_geo_panel(kwargs.get("tiles", "GoogleTiles"), kwargs.get("zoom_level", 18))
+
+    def _add_geo_panel(self, tiles, zoom_level):
+        """Side panel with the destination points over a satellite basemap
+        (reference BaseSelect's cartopy panel, cli_elements.py:33-235);
+        degrades to a plain scatter when tiles are unavailable (offline)."""
+        import warnings
+
+        try:
+            from ..geom import crs as crs_mod
+
+            dst = np.asarray([d[:2] for d in self.dst], dtype=np.float64)
+            lon, lat = crs_mod.transform_points(self.crs, 4326, dst[:, 0], dst[:, 1])
+            pad_lon = max((lon.max() - lon.min()) * 0.5, 2e-4)
+            pad_lat = max((lat.max() - lat.min()) * 0.5, 2e-4)
+            extent = (lon.min() - pad_lon, lon.max() + pad_lon, lat.min() - pad_lat, lat.max() + pad_lat)
+            self.ax.set_position([0.05, 0.1, 0.58, 0.8])
+            self.ax_geo = self.fig.add_axes([0.68, 0.1, 0.28, 0.8])
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")  # offline tile fallback
+                from ..io import basemap
+
+                basemap.add_basemap(self.ax_geo, extent, tiles=tiles, zoom_level=zoom_level)
+            self.ax_geo.plot(lon, lat, "r+", markersize=10)
+            for i, (lo, la) in enumerate(zip(lon, lat)):
+                self.ax_geo.annotate(str(i + 1), (lo, la), color="r")
+            self.ax_geo.set_title("control points")
+            self.ax_geo.set_xlim(extent[0], extent[1])
+            self.ax_geo.set_ylim(extent[2], extent[3])
+        except Exception as e:
+            self.logger.debug(f"No geographic panel: {e}")
+            self.ax_geo = None
 
     def on_complete(self):
         """Fit intrinsics/pose on the clicked points and show reprojection."""

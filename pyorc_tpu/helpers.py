@@ -284,16 +284,20 @@ def read_shape_safe_crs(fn):
 
 
 def get_geo_axes(tiles=None, extent=None, zoom_level=19, **kwargs):
-    """Geographical plot axes. Reference helpers.py:171-204 uses cartopy image
-    tilers; cartopy is not bundled, so this returns a plain equal-aspect axes
-    (tiles are ignored with a warning)."""
-    import warnings
+    """Geographical plot axes with an optional XYZ basemap.
 
+    Reference helpers.py:171-204 builds cartopy GeoAxes with image tilers;
+    here the tiles render through the self-contained Web-Mercator fetcher
+    (:mod:`pyorc_tpu.io.basemap`) onto a plain lon/lat axes — offline runs
+    degrade gracefully to no background.
+    """
     import matplotlib.pyplot as plt
 
-    if tiles is not None:
-        warnings.warn("Basemap tiles require cartopy, which is not available; plotting without.", stacklevel=2)
     ax = plt.axes()
+    if tiles is not None and extent is not None:
+        from .io import basemap
+
+        basemap.add_basemap(ax, extent, tiles=tiles, zoom_level=min(int(zoom_level), 19))
     if extent is not None:
         ax.set_xlim(extent[0], extent[1])
         ax.set_ylim(extent[2], extent[3])

@@ -118,3 +118,34 @@ def test_pairs_sharded_2d_matches_single(rng):
     assert np.allclose(u2, u1, atol=1e-4, equal_nan=True)
     assert np.allclose(v2, v1, atol=1e-4, equal_nan=True)
     assert np.allclose(c2, c1, atol=1e-5)
+
+
+def test_distributed_single_process(tmp_path):
+    """Multi-host coordination degrades to a clean single-process path: video
+    assignment, barrier no-op, manifest written."""
+    from pyorc_tpu.parallel import distributed as dist
+
+    pid, nproc = dist.init_distributed()
+    assert pid == 0 and nproc >= 1
+
+    videos = [f"v{i}.mp4" for i in range(5)]
+    assert dist.host_video_assignment(videos, 0, 2) == ["v0.mp4", "v2.mp4", "v4.mp4"]
+    assert dist.host_video_assignment(videos, 1, 2) == ["v1.mp4", "v3.mp4"]
+
+    # segments: every pair owned exactly once, one-frame halo
+    segs = dist.segment_frame_ranges(101, 4)
+    owned = []
+    for s, e in segs:
+        owned.extend(range(s, e - 1))
+    assert sorted(owned) == list(range(100))
+
+    done = []
+    outs = dist.process_videos_multihost(
+        videos, lambda v, o: done.append((v, o)) or open(o, "w").write("x"),
+        str(tmp_path), process_id=0, num_processes=1,
+    )
+    assert len(outs) == 5 and len(done) == 5
+    import json
+
+    manifest = json.loads((tmp_path / "manifest.json").read_text())
+    assert manifest["num_processes"] == 1

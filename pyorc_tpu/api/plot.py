@@ -25,6 +25,32 @@ def _get_ax(ax=None, figsize=(13, 8)):
     return ax
 
 
+def _geo_ax(obj, ax=None, tiles=None, zoom_level=18, tiles_kwargs=None):
+    """Axes for geographical mode, with an optional XYZ basemap underneath
+    (reference plot.py builds cartopy GeoAxes with image tilers; here the
+    self-contained fetcher in io/basemap draws onto a plain lon/lat axes)."""
+    ax = _get_ax(ax)
+    if tiles is not None and "lon" in obj.coords:
+        import warnings
+
+        from ..io import basemap
+
+        lon = obj["lon"].values
+        lat = obj["lat"].values
+        pad_lon = max((np.nanmax(lon) - np.nanmin(lon)) * 0.25, 1e-4)
+        pad_lat = max((np.nanmax(lat) - np.nanmin(lat)) * 0.25, 1e-4)
+        extent = (
+            float(np.nanmin(lon) - pad_lon),
+            float(np.nanmax(lon) + pad_lon),
+            float(np.nanmin(lat) - pad_lat),
+            float(np.nanmax(lat) + pad_lat),
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # offline fallback stays quiet here
+            basemap.add_basemap(ax, extent, tiles=tiles, zoom_level=zoom_level, **(tiles_kwargs or {}))
+    return ax
+
+
 def frames_plot(da, ax=None, mode: str = "local", **kwargs):
     """Plot a single frame in the chosen perspective."""
     ax = _get_ax(ax)
@@ -45,6 +71,15 @@ class _BasePlot:
     def __init__(self, ref):
         self.ref = ref
         self._obj = ref._obj
+
+    def _mode_ax(self, mode, ax, kwargs):
+        """Pop tile kwargs and build the right axes for the plot mode."""
+        tiles = kwargs.pop("tiles", None)
+        zoom_level = kwargs.pop("zoom_level", 18)
+        tiles_kwargs = kwargs.pop("tiles_kwargs", None)
+        if mode == "geographical":
+            return _geo_ax(self._obj, ax, tiles=tiles, zoom_level=zoom_level, tiles_kwargs=tiles_kwargs)
+        return _get_ax(ax)
 
     def _coords(self, mode: str):
         obj = self._obj
@@ -106,7 +141,7 @@ class _Velocimetry_PlotMethods(_BasePlot):
         return u, v, np.hypot(u_loc, v_loc)
 
     def quiver(self, mode="local", ax=None, add_colorbar=False, **kwargs):
-        ax = _get_ax(ax)
+        ax = self._mode_ax(mode, ax, kwargs)
         x, y, kind = self._coords(mode)
         u, v = self._uv(mode)
         s = np.hypot(u, v)
@@ -118,7 +153,7 @@ class _Velocimetry_PlotMethods(_BasePlot):
         return ax
 
     def pcolormesh(self, mode="local", ax=None, add_colorbar=False, **kwargs):
-        ax = _get_ax(ax)
+        ax = self._mode_ax(mode, ax, kwargs)
         x, y, kind = self._coords(mode)
         u, v = self._uv(mode)
         s = np.hypot(u, v)
@@ -128,7 +163,7 @@ class _Velocimetry_PlotMethods(_BasePlot):
         return ax
 
     def scatter(self, mode="local", ax=None, add_colorbar=False, **kwargs):
-        ax = _get_ax(ax)
+        ax = self._mode_ax(mode, ax, kwargs)
         x, y, kind = self._coords(mode)
         u, v = self._uv(mode)
         s = np.hypot(u, v)
@@ -217,7 +252,7 @@ class _Transect_PlotMethods(_BasePlot):
         return vx, vy
 
     def quiver(self, mode="local", ax=None, add_colorbar=False, **kwargs):
-        ax = _get_ax(ax)
+        ax = self._mode_ax(mode, ax, kwargs)
         obj = self._obj
         if mode == "camera":
             cc = self.ref.camera_config

@@ -707,7 +707,10 @@ class CrossSection:
         assert img.shape[1] == self.camera_config.width
         img = img.astype(np.uint8) if img.dtype != np.uint8 else img
         if method == "grid":
-            l_cand = np.arange(l_min, l_max + 5e-3, 5e-3)
+            # 5 mm step, capped at ~500 candidates (crop batches scale with
+            # the candidate count; the reference DE's atol was 0.01 anyway)
+            step = max(5e-3, (l_max - l_min) / 500.0)
+            l_cand = np.arange(l_min, l_max + step, step)
             scores = self._scores_batched(
                 img, l_cand, bin_size=bin_size, offset=offset, padding=padding,
                 length=length, min_z=min_z, max_z=max_z,

@@ -14,6 +14,7 @@ warning), so recipes with ``tiles:`` keep working in air-gapped deployments.
 
 from __future__ import annotations
 
+import hashlib
 import io
 import math
 import os
@@ -79,7 +80,8 @@ def _fetch_tile(provider: str, x: int, y: int, z: int) -> Optional[np.ndarray]:
     x %= n
     if y < 0 or y >= n:
         return None
-    cache = _cache_dir() / f"{abs(hash(url_t)) % 10**8}_{z}_{x}_{y}.png"
+    key = hashlib.md5(url_t.encode()).hexdigest()[:8]  # stable across processes
+    cache = _cache_dir() / f"{key}_{z}_{x}_{y}.png"
     if cache.is_file():
         try:
             return np.asarray(Image.open(cache).convert("RGB"))

@@ -263,6 +263,20 @@ def piv_multipass(
     if engine == "auto":
         engine = "fused" if jax.default_backend() not in ("cpu",) else "xla"
     if engine.startswith("fused"):
+        # geometry/threshold cases the kernel would immediately bounce to XLA
+        # run the single-jit cascade directly: the interleaved fallback would
+        # correlate every (b_i, a_{i+1}) cross pair just to discard it
+        from . import piv_pallas
+
+        finest = schedule[-1]
+        row0, col0 = win.get_window_starts(tuple(dim_size), finest, overlaps[-1])
+        sy = piv_ops._strided_axis_starts(np.asarray(row0), finest[0])
+        sx = piv_ops._strided_axis_starts(np.asarray(col0), finest[1])
+        if signal_threshold is not None or not piv_pallas._fused_geometry_ok(
+            finest[0], finest[1], sy, sx
+        ):
+            engine = "xla"
+    if engine.startswith("fused"):
         return _piv_multipass_fused(
             imgs, tuple(dim_size), schedule, overlaps,
             None if signal_threshold is None else float(signal_threshold),

@@ -228,11 +228,14 @@ def _finish_corr(corr, sa, sb, valid, wy, wx):
 def _chunk_plan(n_cols: int, wy: int, wx: int, pack: int):
     """(col_chunk, temp_bytes): windows per call and the VMEM they cost.
 
-    The live set per in-flight window is ~7 lane-padded [wy, wx] temporaries
-    (inputs, spectra, product, correlation plane — measured against the
-    compiler's scoped-vmem accounting at 64 px and the 26 px overflow).
-    Budget ~6MB of temporaries; more windows per call amortize MXU latency,
-    fewer keep strips (and so the resident output blocks) larger.
+    The live set per in-flight window is modeled as 8 lane-padded [wy, wx]
+    temporaries (inputs, spectra, product, correlation plane — calibrated
+    against the compiler's scoped-vmem accounting at 64 px and the 26/32 px
+    overflows; the true live set measured 6-10 depending on size). Budget
+    9MB of temporaries (outputs are lane-flat since the [.., n_cols] layout,
+    so temporaries own most of the 16MB scope); more windows per call
+    amortize MXU latency. The halving retry in the wrapper covers model
+    error.
     """
     g = pack * pack
     per_win = 8 * (-(-wy // 8) * 8) * 128 * 4
@@ -343,8 +346,11 @@ def _kernel(
                 jax.lax.broadcasted_iota(jnp.int32, (cnt_pad, cnt_pad), 0)
                 == jax.lax.broadcasted_iota(jnp.int32, (cnt_pad, cnt_pad), 1)
             ).astype(jnp.float32)
+            # HIGHEST: the transpose carries VALUES — default single-pass
+            # bf16 would round u/v through 8 mantissa bits
             res_t = jax.lax.dot_general(
-                res, eye, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                res, eye, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # [5, cnt_pad]
             row_parts.append(res_t[:, 0:cnt] if cnt_pad != cnt else res_t)
         # dynamic-sublane stores must span the block's full lane extent
@@ -809,11 +815,16 @@ def piv_pairs_fused(
             )
         except Exception as e:
             last_err = e
+            msg = str(e)
             # the compiler's scoped-vmem accounting beats any host-side model;
             # on overflow retry with half the bands per launch
-            if "vmem" in str(e).lower() and nb_max > 4:
+            if "vmem" in msg.lower() and nb_max > 4:
                 nb_max = max(nb_max // 2, 4)
                 continue
+            # device (HBM) OOM must propagate: the engine's chunk-splitting
+            # backoff handles it, and the XLA fallback needs MORE memory
+            if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg:
+                raise
             break
     # Any other Pallas/Mosaic failure (lowering rejection, a renamed compiler
     # error class...) degrades to the slower-but-correct XLA pipeline with an
@@ -1115,7 +1126,8 @@ def _ens_kernel(
                 == jax.lax.broadcasted_iota(jnp.int32, (cnt, cnt), 1)
             ).astype(jnp.float32)
             res_t = jax.lax.dot_general(
-                res, eye, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                res, eye, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # [3, cnt]
             count_ref[0, i : i + 1, c0 : c0 + cnt] += res_t[0:1]
             cmax_ref[0, i : i + 1, c0 : c0 + cnt] = res_t[1:2]
@@ -1157,6 +1169,8 @@ def piv_ensemble_fused(
             float(corr_min), float(s2n_min), bool(interpret),
         )
     except Exception as e:
+        if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+            raise  # engine chunk backoff handles device OOM; XLA needs MORE
         # degrade to the slower-but-correct XLA scan on any Pallas failure
         import warnings
 

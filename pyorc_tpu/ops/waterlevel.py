@@ -67,11 +67,14 @@ def _rdp(points: np.ndarray, eps: float) -> np.ndarray:
     return points[keep]
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _counts_jit(crops, rings, valid_edges, bin_size: int, n_bins: int):
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _counts_jit(crops, rings, valid_edges, img_lims, bin_size: int, n_bins: int):
     """crops: [M, hc, wc] uint8 (per-candidate windows); rings: [M, V, 2] in
-    crop-local coords; valid_edges: [M, V]. Returns (counts [M, n_bins],
-    totals [M])."""
+    crop-local coords; valid_edges: [M, V]; img_lims: [M, 2] crop-local
+    (x, y) image bounds (polygon area past the frame edge must not count —
+    the host path never samples outside the image). Returns
+    (counts [M, n_bins], totals [M] = ALL polygon pixels, matching the host
+    path's min_samples gate on the raw pixel count)."""
     m, hc, wc = crops.shape
     py = (jnp.arange(hc, dtype=jnp.float32)[:, None] + jnp.zeros((1, wc), jnp.float32)).ravel()
     px = (jnp.arange(wc, dtype=jnp.float32)[None, :] + jnp.zeros((hc, 1), jnp.float32)).ravel()
@@ -79,7 +82,7 @@ def _counts_jit(crops, rings, valid_edges, bin_size: int, n_bins: int):
     last_edge = bin_size * n_bins
 
     def one(args):
-        crop, ring, vale = args
+        crop, ring, vale, lim = args
         x1 = ring[:, 0]
         y1 = ring[:, 1]
         x2 = jnp.roll(x1, -1)
@@ -89,13 +92,14 @@ def _counts_jit(crops, rings, valid_edges, bin_size: int, n_bins: int):
         xint = x1[None, :] + t * (x2 - x1)[None, :]
         hits = straddle & (px[:, None] < xint) & (vale[None, :] > 0)
         inside = (jnp.sum(hits.astype(jnp.int32), axis=1) % 2).astype(jnp.float32)  # [P]
+        inside = inside * (px < lim[0]) * (py < lim[1])
         v = crop.ravel().astype(jnp.int32)
         idx = jnp.minimum(v // bin_size, n_bins - 1)
         w = inside * (v <= last_edge)
         counts = jax.ops.segment_sum(w, idx, num_segments=n_bins)
-        return counts, counts.sum()
+        return counts, inside.sum()
 
-    return jax.lax.map(one, (crops, rings, valid_edges))
+    return jax.lax.map(one, (crops, rings, valid_edges, img_lims))
 
 
 def polygon_histogram_scores(
@@ -152,37 +156,50 @@ def polygon_histogram_scores(
     hc = -(-hc // 32) * 32
     wc = -(-wc // 32) * 32
     v_pad = -(-max(len(rings[i]) for i in live) // 8) * 8
-    m_pad = -(-len(live) // 32) * 32
-
-    crops = np.zeros((m_pad, hc, wc), np.uint8)
-    ring_arr = np.zeros((m_pad, v_pad, 2), np.float32)
-    edge_valid = np.zeros((m_pad, v_pad), np.float32)
-    for j, i in enumerate(live):
-        x0, x1, y0, y1 = boxes[i]
-        ys = min(y0 + hc, h) - y0
-        xs = min(x0 + wc, w) - x0
-        crops[j, :ys, :xs] = img[y0 : y0 + ys, x0 : x0 + xs]
-        r = rings[i]
-        k = min(len(r), v_pad)
-        ring_arr[j, :k] = r[:k] - [x0, y0]
-        ring_arr[j, k:] = r[k - 1] - [x0, y0]
-        edge_valid[j, :k] = 1.0
-
-    counts, totals = _counts_jit(
-        jnp.asarray(crops), jnp.asarray(ring_arr), jnp.asarray(edge_valid), bin_size, n_bins
-    )
-    counts = np.asarray(counts, np.float64)
-    totals = np.asarray(totals, np.float64)
+    # bound the crop batch: thousands of grid candidates x a large bbox would
+    # otherwise allocate multi-GB batches (process in slices of <= m_max)
+    m_max = max(int((256 << 20) // max(hc * wc, 1)), 32)
+    counts_live = np.zeros((len(live), n_bins), np.float64)
+    totals_live = np.zeros(len(live), np.float64)
+    for g0 in range(0, len(live), m_max):
+        grp = live[g0 : g0 + m_max]
+        m_pad = -(-len(grp) // 32) * 32
+        crops = np.zeros((m_pad, hc, wc), np.uint8)
+        ring_arr = np.zeros((m_pad, v_pad, 2), np.float32)
+        edge_valid = np.zeros((m_pad, v_pad), np.float32)
+        img_lims = np.zeros((m_pad, 2), np.float32)
+        for j, i in enumerate(grp):
+            x0, x1, y0, y1 = boxes[i]
+            ys = min(y0 + hc, h) - y0
+            xs = min(x0 + wc, w) - x0
+            crops[j, :ys, :xs] = img[y0 : y0 + ys, x0 : x0 + xs]
+            img_lims[j] = (xs, ys)
+            r = rings[i]
+            k = min(len(r), v_pad)
+            ring_arr[j, :k] = r[:k] - [x0, y0]
+            ring_arr[j, k:] = r[k - 1] - [x0, y0]
+            edge_valid[j, :k] = 1.0
+        c, t = _counts_jit(
+            jnp.asarray(crops), jnp.asarray(ring_arr), jnp.asarray(edge_valid),
+            jnp.asarray(img_lims), bin_size, n_bins,
+        )
+        counts_live[g0 : g0 + len(grp)] = np.asarray(c, np.float64)[: len(grp)]
+        totals_live[g0 : g0 + len(grp)] = np.asarray(t, np.float64)[: len(grp)]
+    counts, totals = counts_live, totals_live
 
     # scatter (polygon-side) results back to candidate pairs
     c_all = np.zeros((2 * n, n_bins), np.float64)
     s_all = np.zeros(2 * n, np.float64)
-    c_all[np.asarray(live)] = counts[: len(live)]
-    s_all[np.asarray(live)] = totals[: len(live)]
+    c_all[np.asarray(live)] = counts
+    s_all[np.asarray(live)] = totals
     c1, c2 = c_all[:n], c_all[n:]
     s1, s2 = s_all[:n], s_all[n:]
+    # density normalization over IN-RANGE pixels (np.histogram semantics);
+    # the min_samples gate uses ALL polygon pixels like the host path
+    n1 = c1.sum(axis=1)
+    n2 = c2.sum(axis=1)
     with np.errstate(divide="ignore", invalid="ignore"):
-        d1 = np.where(s1[:, None] > 0, c1 / s1[:, None], 0.0)
-        d2 = np.where(s2[:, None] > 0, c2 / s2[:, None], 0.0)
+        d1 = np.where(n1[:, None] > 0, c1 / n1[:, None], 0.0)
+        d2 = np.where(n2[:, None] > 0, c2 / n2[:, None], 0.0)
     union = np.maximum(d1, d2).sum(axis=1)
     return np.where((s1 < min_samples) | (s2 < min_samples), 2.0, 2.0 - union)

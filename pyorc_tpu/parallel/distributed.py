@@ -50,6 +50,14 @@ def init_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
+    elif num_processes is None and any(
+        os.environ.get(k) for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+    ):
+        # cluster env present: let jax auto-detect (no-op if already initialized)
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized
     return jax.process_index(), jax.process_count()
 
 

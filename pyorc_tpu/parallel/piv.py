@@ -347,7 +347,22 @@ def piv_pairs_sharded_2d(
 
     sharding = NamedSharding(mesh, P("pairs", "rows"))
     slabs_dev = jax.device_put(slabs, sharding)
-    u, v, cmax, s2n = jax.jit(run)(slabs_dev)
+    try:
+        u, v, cmax, s2n = jax.jit(run)(slabs_dev)
+    except Exception as e:
+        # inside jit+shard_map the kernel's own retry/fallback never fires
+        # (lowering errors surface at the OUTER compile) — degrade here
+        if engine == "xla" or "RESOURCE_EXHAUSTED" in str(e):
+            raise
+        import warnings
+
+        warnings.warn(
+            f"Fused kernel failed under the 2-D mesh ({e}); retrying with the XLA path.",
+            stacklevel=2,
+        )
+        return piv_pairs_sharded_2d(
+            imgs, window_size, overlap, search_area_size, mesh, signal_threshold, engine="xla"
+        )
 
     def fix(a):
         a = np.asarray(a)  # [Dp, Dr, P, nb_per, n_cols]

@@ -24,6 +24,22 @@ from .orcbase import ORCBase
 __all__ = ["Frames"]
 
 
+def _put_time_sharded(chunk):
+    """device_put a frame batch, sharded over the time axis when a mesh is
+    available — per-frame filters and the ortho gather are embarrassingly
+    parallel, so multi-chip runs preprocess on every chip instead of one."""
+    import jax
+
+    devices = jax.devices()
+    n = getattr(chunk, "shape", (0,))[0]
+    if len(devices) > 1 and n >= len(devices) and n % len(devices) == 0:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(devices), ("t",))
+        return jax.device_put(chunk, NamedSharding(mesh, P("t")))
+    return jax.device_put(chunk)
+
+
 @ndx.register_dataarray_accessor("frames")
 class Frames(ORCBase):
     """Frame-stack functionality on an ndx.DataArray."""
@@ -36,6 +52,10 @@ class Frames(ORCBase):
         return all(coord in self._obj.coords for coord in ["xs", "ys"])
 
     # -- device batching helper ------------------------------------------------------
+
+    @staticmethod
+    def _put_time_sharded(chunk):
+        return _put_time_sharded(chunk)
 
     def _map_device(self, fn, batch: int = 64, out_dtype=None):
         """Apply a jitted per-frame op over the frame stack.
@@ -52,7 +72,7 @@ class Frames(ORCBase):
 
         data = self._obj.data
         if isinstance(data, LazyFrames):
-            op = lambda chunk: fn(jax.device_put(chunk))
+            op = lambda chunk: fn(_put_time_sharded(chunk))
             return data.with_op(op, dtype=out_dtype)
         n = data.shape[0]
         outs = []
@@ -188,7 +208,7 @@ class Frames(ORCBase):
 
             fshape = (len(y), len(x), 3) if is_rgb else (len(y), len(x))
             out = data.with_op(
-                lambda chunk: jnp.nan_to_num(project_chunk(jax.device_put(chunk))).astype(src_dtype),
+                lambda chunk: jnp.nan_to_num(project_chunk(_put_time_sharded(chunk))).astype(src_dtype),
                 frame_shape=fshape,
                 dtype=src_dtype,
             )

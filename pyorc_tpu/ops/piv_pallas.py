@@ -618,11 +618,16 @@ def _tb_kernel(
         a = build_tiles(extract_band(band_a[slot], band_idx), 0)
         b = build_tiles(extract_band(band_b[slot], band_idx), 1)
 
-        # raw moments for the Pearson normalization (demeaning itself happens
-        # spectrally: a constant offset only carries energy in the DC bin)
+        # EXPLICIT packed-domain demeaning (block means broadcast back): the
+        # DC-mask trick alone is exact in exact arithmetic, but correlating
+        # raw high-mean data leaves ~(mu/sigma)^2-times-larger low-frequency
+        # spectral products whose fp32 cancellation noise corrupts smooth
+        # imagery at the 1% level
         sum_a = block_sum(a)
-        ssq_a = block_sum(a * a)
         sum_b = block_sum(b)
+        a = a - bcast(sum_a / n_pix)
+        b = b - bcast(sum_b / n_pix)
+        ssq_a = block_sum(a * a)
         ssq_b = block_sum(b * b)
 
         at_re, at_im = dft2t(a)
@@ -658,11 +663,10 @@ def _tb_kernel(
         cus = block_sum(oh * pltpu.roll(corr, 1, 1))
         cds = block_sum(oh * pltpu.roll(corr, pwh - 1, 1))
 
-        # per-window scalar math on [n_t, py, px] slabs (matches _finish_corr)
-        mu_a = sum_a / n_pix
-        mu_b = sum_b / n_pix
-        sa = jnp.sqrt(jnp.maximum(ssq_a / n_pix - mu_a * mu_a, 0.0))
-        sb = jnp.sqrt(jnp.maximum(ssq_b / n_pix - mu_b * mu_b, 0.0))
+        # per-window scalar math on [n_t, py, px] slabs (matches _finish_corr;
+        # sigma from the demeaned tiles, like the XLA path)
+        sa = jnp.sqrt(jnp.maximum(ssq_a / n_pix, 0.0))
+        sb = jnp.sqrt(jnp.maximum(ssq_b / n_pix, 0.0))
         valid = (sa > 1e-6) & (sb > 1e-6)
         validf = valid.astype(jnp.float32)
         denom = jnp.maximum(n_pix * sa * sb, 1e-10) * n_pix
@@ -1163,6 +1167,11 @@ def piv_ensemble_fused(
         return piv_ops.piv_ensemble_scan(
             imgs, dim_size, sas, overlap, n_rows, n_cols, corr_min, s2n_min, signal_threshold
         )
+    # NB: a packed-accumulator tileband ensemble variant (packed-domain
+    # correlation with the corr-sum resident in packed layout) passed parity
+    # but measured ~10x SLOWER than this sliced kernel on v5e (36 vs 380
+    # pairs/s at 26 px) and was dropped — the sliced chunked form keeps the
+    # ensemble fast at every supported window size.
     try:
         return _piv_ensemble_fused_jit(
             jnp.asarray(imgs), (wy, wx), (step_y, step_x), n_rows, n_cols,

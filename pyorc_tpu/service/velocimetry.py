@@ -1,24 +1,33 @@
-"""Recipe-driven end-to-end pipeline: video -> velocities -> discharge -> plots.
+"""Recipe-driven pipeline service: one video in, velocity/discharge artifacts out.
 
-Parity port of the reference's service layer (reference
-``pyorc/service/velocimetry.py:28-884``): fixed stage order
-(video -> [optical water level] -> frames -> velocimetry -> mask -> transect
--> plot), incremental re-run hash cache (recipe subsection YAML + SHA-256 of
-in/out files persisted under ``<output>/.pyorc/``), and a subprocess runner
-for embedding.
+Same *contract* as the reference service layer (reference
+``pyorc/service/velocimetry.py``): the YAML recipe's sections run in the fixed
+order video -> [optical water level] -> frames -> velocimetry -> mask ->
+transect -> plot, intermediate results land as netCDF next to a ``.pyorc/``
+ledger directory that lets ``--update`` re-runs skip stages whose recipe
+slice and file fingerprints are unchanged, and a subprocess launcher allows
+embedding.  The *implementation* is this framework's own: stages are entries
+in a declarative table (:data:`PIPELINE`), the incremental-skip bookkeeping
+lives in one :class:`StageLedger` object rather than a decorator, and stage
+bodies are plain methods wrapped by a single failure handler.
+
+Ledger file layout (compatible with prior runs of this tool):
+``<output>/.pyorc/<prefix><stage>.yml`` holds the recipe slice the stage last
+ran with; ``<output>/.pyorc/<basename>.hash`` holds the SHA-256 hexdigest of
+each tracked input/output file.
 """
 
 from __future__ import annotations
 
 import copy
-import functools
 import json
 import logging
-import os.path
+import os
 import shutil
 import subprocess
 import sys
-from typing import Dict, Optional
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
 
 import click
 import numpy as np
@@ -32,37 +41,101 @@ __all__ = ["velocity_flow", "velocity_flow_subprocess", "VelocityFlowProcessor",
 
 logger = logging.getLogger(__name__)
 
-ALLOWED_COLOR_METHODS_WATER_LEVEL = ["grayscale", "hue", "sat", "val"]
+# color methods the optical water-level detector accepts
+WATER_LEVEL_COLOR_METHODS = ("grayscale", "hue", "sat", "val")
 
 
-def _check_file_integrity(ref, func_name, inputs, outputs, path_out):
-    """True if any input/output file is missing or its hash changed. Reference :28-49."""
-    for i in inputs + outputs:
-        fn = getattr(ref, i)
-        fn_hash = os.path.join(path_out, f"{os.path.basename(getattr(ref, i))}.hash")
-        if not os.path.isfile(fn):
-            return True
-        if not os.path.isfile(fn_hash):
-            return True
-        hash256 = cli_utils.get_file_hash(fn)
-        with open(fn_hash, "r") as f:
-            hash256_ancient = f.read()
-        if hash256.hexdigest() != hash256_ancient:
-            ref.logger.debug(f"File integrity of {fn} has changed, requiring rerun of {func_name}")
-            return True
-    return False
+# ---------------------------------------------------------------------------
+# incremental re-run ledger
+# ---------------------------------------------------------------------------
 
 
-def _compare_configs(func_name, fn_ancient_recipe, recipe, relevant_configs, logger=logger):
-    """True if the relevant recipe subsections changed. Reference :52-67."""
-    recipe_part = {c: recipe[c] for c in relevant_configs if c in recipe}
-    with open(fn_ancient_recipe, "r") as f:
-        cfg_ancient = f.read()
-    cfg = yaml.dump(recipe_part, default_flow_style=False, sort_keys=False)
-    if cfg != cfg_ancient:
-        logger.debug(f'Configuration of "{func_name}" has changed, requiring rerun')
+class StageLedger:
+    """Fingerprint store deciding whether a cached stage may be skipped.
+
+    A stage is *current* when (a) the YAML dump of its recipe slice equals the
+    stored one and (b) every tracked file still exists with an unchanged
+    SHA-256.  ``commit`` records both after a successful run.
+    """
+
+    def __init__(self, root: str, prefix: str, log: logging.Logger):
+        self.dir = os.path.join(root, ".pyorc")
+        self.prefix = prefix
+        self.log = log
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _slice_path(self, stage: str) -> str:
+        return os.path.join(self.dir, f"{self.prefix}{stage}.yml")
+
+    def _digest_path(self, fn: str) -> str:
+        return os.path.join(self.dir, f"{os.path.basename(fn)}.hash")
+
+    @staticmethod
+    def _dump_slice(recipe: Dict, keys: Sequence[str]) -> str:
+        part = {k: recipe[k] for k in keys if k in recipe}
+        return yaml.dump(part, default_flow_style=False, sort_keys=False)
+
+    def is_current(self, stage: str, recipe: Dict, keys: Sequence[str], files: Sequence[str]) -> bool:
+        slice_fn = self._slice_path(stage)
+        if not os.path.isfile(slice_fn):
+            return False
+        with open(slice_fn) as f:
+            if f.read() != self._dump_slice(recipe, keys):
+                self.log.debug(f"[{stage}] recipe slice differs from the ledger; stage is stale")
+                return False
+        for fn in files:
+            digest_fn = self._digest_path(fn)
+            if not (os.path.isfile(fn) and os.path.isfile(digest_fn)):
+                return False
+            with open(digest_fn) as f:
+                stored = f.read()
+            if cli_utils.get_file_hash(fn).hexdigest() != stored:
+                self.log.debug(f"[{stage}] fingerprint of {fn} changed; stage is stale")
+                return False
         return True
-    return False
+
+    def commit(self, stage: str, recipe: Dict, keys: Sequence[str], files: Sequence[str]) -> None:
+        with open(self._slice_path(stage), "w") as f:
+            f.write(self._dump_slice(recipe, keys))
+        for fn in files:
+            with open(self._digest_path(fn), "w") as f:
+                f.write(cli_utils.get_file_hash(fn).hexdigest())
+
+
+# ---------------------------------------------------------------------------
+# recipe dispatch helpers
+# ---------------------------------------------------------------------------
+
+
+def apply_methods(obj, accessor: str, logger=logger, skip_args=None, **sections):
+    """Chain accessor method calls named by recipe keys onto ``obj``."""
+    skip = set(skip_args or ())
+    for name, params in sections.items():
+        if name in skip:
+            continue
+        ns = getattr(obj, accessor)
+        if not hasattr(ns, name):
+            raise ValueError(f'Recipe names "{name}", which is not a method of .{accessor}')
+        logger.debug(f"recipe step .{accessor}.{name}({params or {}})")
+        obj = getattr(ns, name)(**(params or {}))
+    return obj
+
+
+def get_masks(obj, **mask_methods) -> List:
+    """Evaluate one recipe mask group into a list of boolean masks."""
+    return [
+        getattr(obj.velocimetry.mask, name)(**(params or {}))
+        for name, params in mask_methods.items()
+    ]
+
+
+def vmin_vmax_to_norm(opts: Dict) -> Dict:
+    """Fold plain vmin/vmax plot options into a matplotlib Normalize."""
+    if "vmin" in opts or "vmax" in opts:
+        from matplotlib.colors import Normalize
+
+        opts["norm"] = Normalize(vmin=opts.pop("vmin", None), vmax=opts.pop("vmax", None))
+    return opts
 
 
 def get_water_level(
@@ -76,135 +149,98 @@ def get_water_level(
     water_level_options: Optional[Dict] = None,
     logger: logging.Logger = logger,
 ):
-    """Optical water level: try preprocessing option sets until s2n is high enough.
+    """Optical water level: walk preprocessing option sets, keep the first
+    detection whose signal-to-noise clears the threshold.
 
-    Reference :70-119.
+    Each entry of ``frames_options`` may carry its own ``method`` /
+    ``s2n_thres`` overrides; the frame slice [n_start, n_end) is averaged
+    over time before scoring. Returns the detected level or None when no
+    option set produces a confident detection.
     """
-    water_level_options = {} if water_level_options is None else water_level_options
-    frames_options = {} if frames_options is None else frames_options
-    if not isinstance(frames_options, list):
-        frames_options = [frames_options]
-    for frames_options_ in frames_options:
-        method_ = frames_options_.pop("method", method)
-        s2n_thres_ = frames_options_.pop("s2n_thres", s2n_thres)
-        if method_ not in ALLOWED_COLOR_METHODS_WATER_LEVEL:
+    option_sets = frames_options if isinstance(frames_options, list) else [frames_options or {}]
+    for options in option_sets:
+        color = options.pop("method", method)
+        threshold = options.pop("s2n_thres", s2n_thres)
+        if color not in WATER_LEVEL_COLOR_METHODS:
             raise ValueError(
-                f"Method {method_} not supported for water level detection, choose one "
-                f"of {ALLOWED_COLOR_METHODS_WATER_LEVEL}"
+                f'Color method "{color}" cannot drive water-level detection; '
+                f"pick one of {list(WATER_LEVEL_COLOR_METHODS)}"
             )
-        da_frames = video.get_frames(method=method_).isel(time=slice(n_start, n_end))
-        logger.debug(f"Applying preprocessing methods {frames_options_}")
-        da_frames = apply_methods(da_frames, "frames", logger=logger, skip_args=["to_video"], **frames_options_)
-        if "time" in da_frames.dims:
-            da_mean = da_frames.mean(dim="time")
-        else:
-            da_mean = da_frames
-        img = np.uint8(da_mean.values)
-        h_a, s2n = cross_section.detect_water_level_s2n(img, **water_level_options)
-        if s2n > s2n_thres_:
-            logger.debug(
-                f"Found significant water level at h: {h_a:.3f} m with signal-to-noise: {s2n:.3f} > {s2n_thres_:.3f}"
-            )
-            return h_a
-        logger.debug(f"Found water level at h: {h_a:.3f} m with too low signal-to-noise: {s2n:.3f} < {s2n_thres_:.3f}")
+        stack = video.get_frames(method=color).isel(time=slice(n_start, n_end))
+        logger.debug(f"water level attempt with preprocessing {options}")
+        stack = apply_methods(stack, "frames", logger=logger, skip_args=["to_video"], **options)
+        mean_img = stack.mean(dim="time") if "time" in stack.dims else stack
+        level, s2n = cross_section.detect_water_level_s2n(
+            np.uint8(mean_img.values), **(water_level_options or {})
+        )
+        if s2n > threshold:
+            logger.debug(f"water level accepted: h={level:.3f} m (s2n {s2n:.2f} > {threshold:.2f})")
+            return level
+        logger.debug(f"water level rejected: h={level:.3f} m (s2n {s2n:.2f} <= {threshold:.2f})")
     return None
 
 
-def vmin_vmax_to_norm(opts):
-    """vmin/vmax kwargs -> matplotlib Normalize. Reference :122-143."""
-    if "vmin" in opts or "vmax" in opts:
-        from matplotlib.colors import Normalize
-
-        vmin = opts.pop("vmin", None)
-        vmax = opts.pop("vmax", None)
-        opts["norm"] = Normalize(vmin=vmin, vmax=vmax)
-    return opts
+# ---------------------------------------------------------------------------
+# the processor
+# ---------------------------------------------------------------------------
 
 
-def apply_methods(obj, subclass, logger=logger, skip_args=None, **kwargs):
-    """Generic recipe dispatch: section keys -> accessor method calls. Reference :146-159."""
-    if skip_args is None:
-        skip_args = []
-    for m, _kwargs in kwargs.items():
-        if m not in skip_args:
-            cls = getattr(obj, subclass)
-            if not hasattr(cls, m):
-                raise ValueError(f'Method "{m}" for {subclass} does not exist, please check your recipe')
-            logger.debug(f"Applying {m} on {subclass} with parameters {_kwargs}")
-            meth = getattr(cls, m)
-            obj = meth(**(_kwargs or {}))
-    return obj
+@dataclass(frozen=True)
+class StageSpec:
+    """One pipeline stage: when it runs, what the ledger tracks, what it restores."""
+
+    name: str
+    recipe_key: Optional[str] = None  # recipe section driving the stage (None: always-on)
+    optional: bool = False  # skip entirely when recipe_key is absent
+    cached: bool = False  # eligible for ledger-based skipping under --update
+    config_keys: Sequence[str] = ()  # recipe slices recorded in the ledger after a run
+    tracked_files: Sequence[str] = ()  # processor attributes naming files to fingerprint
+    reload_attr: Optional[str] = None  # attribute restored from reload_file on skip
+    reload_file: Optional[str] = None
 
 
-def get_masks(obj, **mask_methods):
-    """Build the mask list for one mask group. Reference :162-170."""
-    masks = []
-    for m, _kwargs in mask_methods.items():
-        if _kwargs is None:
-            _kwargs = {}
-        meth = getattr(obj.velocimetry.mask, m)
-        masks.append(meth(**_kwargs))
-    return masks
-
-
-def run_func_hash_io(attrs=None, inputs=None, configs=None, outputs=None, write_path=".pyorc", check=False):
-    """Skip a pipeline stage when recipe subsection + file hashes are unchanged.
-
-    Reference :173-280.
-    """
-    attrs = [] if attrs is None else attrs
-    inputs = [] if inputs is None else inputs
-    configs = [] if configs is None else configs
-    outputs = [] if outputs is None else outputs
-
-    def decorator_func(processor_func):
-        @functools.wraps(processor_func)
-        def wrapper_func(ref, *args, **kwargs):
-            func_name = processor_func.__name__
-            path_out = os.path.join(ref.output, write_path)
-            os.makedirs(path_out, exist_ok=True)
-            run = True
-            if check and ref.update:
-                fn_recipe = os.path.join(path_out, f"{ref.prefix}{func_name}.yml")
-                if not os.path.isfile(fn_recipe):
-                    run = True
-                else:
-                    run = _compare_configs(
-                        func_name, fn_ancient_recipe=fn_recipe, recipe=ref.recipe,
-                        relevant_configs=configs, logger=ref.logger,
-                    )
-                if not run:
-                    run = _check_file_integrity(ref, func_name, inputs, outputs, path_out)
-            if run:
-                ref.logger.info(f"Running {func_name}")
-                processor_func(ref, *args, **kwargs)
-                fn_recipe = os.path.join(path_out, f"{ref.prefix}{func_name}.yml")
-                recipe_part = {c: ref.recipe[c] for c in configs if c in ref.recipe}
-                with open(fn_recipe, "w") as f:
-                    yaml.dump(recipe_part, f, default_flow_style=False, sort_keys=False)
-                for i in inputs + outputs:
-                    fn_hash = os.path.join(path_out, f"{os.path.basename(getattr(ref, i))}.hash")
-                    hash256 = cli_utils.get_file_hash(getattr(ref, i))
-                    with open(fn_hash, "w") as f:
-                        f.write(hash256.hexdigest())
-            else:
-                ref.logger.info(
-                    f'Configuration, dependencies, input and output files for section "{func_name}" have not '
-                    f"changed since last run, skipping..."
-                )
-                for attr, output in zip(attrs, outputs):
-                    if attr is not None:
-                        fn = getattr(ref, output)
-                        ref.logger.info(f'Results for "{func_name}" already available, reading from {os.path.abspath(fn)}')
-                        setattr(ref, attr, ndx.open_dataset(fn))
-
-        return wrapper_func
-
-    return decorator_func
+PIPELINE: List[StageSpec] = [
+    StageSpec("video", recipe_key="video"),
+    StageSpec("water_level", recipe_key="water_level", optional=True),
+    StageSpec("frames", recipe_key="frames"),
+    StageSpec(
+        "velocimetry",
+        recipe_key="velocimetry",
+        cached=True,
+        config_keys=("video", "frames", "velocimetry"),
+        tracked_files=("fn_video", "fn_piv"),
+        reload_attr="velocimetry_obj",
+        reload_file="fn_piv",
+    ),
+    StageSpec(
+        "mask",
+        recipe_key="mask",
+        optional=True,
+        cached=True,
+        config_keys=("video", "frames", "velocimetry", "mask"),
+        tracked_files=("fn_piv", "fn_piv_mask"),
+        reload_attr="velocimetry_mask_obj",
+        reload_file="fn_piv_mask",
+    ),
+    StageSpec(
+        "transect",
+        recipe_key="transect",
+        optional=True,
+        config_keys=("transect",),
+        tracked_files=("fn_piv_mask",),
+    ),
+    StageSpec(
+        "plot",
+        recipe_key="plot",
+        optional=True,
+        config_keys=("video", "frames", "velocimetry", "transect", "plot"),
+        tracked_files=("fn_video", "fn_piv_mask"),
+    ),
+]
 
 
 class VelocityFlowProcessor:
-    """Recipe-driven processor: video in, velocities/discharge/plots out."""
+    """Drives the recipe through the accessor API, stage by stage."""
 
     def __init__(
         self,
@@ -223,326 +259,306 @@ class VelocityFlowProcessor:
         fn_transect_template: str = "transect_{:s}.nc",
         logger: logging.Logger = logging,
     ):
-        logger.debug("Initializing Velocity Flow Processor")
-        cross_section_wl = None
-        camera_config = CameraConfig(**_parse_camconfig_dict(cameraconfig))
+        logger.debug("setting up the velocity-flow pipeline")
+        self.logger = logger
+        self.recipe = recipe
+        self.output = output
+        self.prefix = prefix
+        self.update = update
+        self.concurrency = concurrency
+        self.fn_video = videofile
+        self.proj_method = "numpy"
+        self.cross_section_fn = cross
+
+        self.cam_config = CameraConfig(**_parse_camconfig_dict(cameraconfig))
+        self.cross_section_wl = self._resolve_water_level_source(h_a, cross, cross_wl)
+
+        # output artifact paths (unmasked PIV doubles as the mask artifact
+        # when the recipe has no mask section)
+        self.fn_piv = os.path.join(output, prefix + fn_piv)
+        self.fn_piv_mask = os.path.join(output, prefix + fn_piv_mask) if "mask" in recipe else self.fn_piv
+        if "transect" in recipe:
+            template = os.path.join(output, prefix + fn_transect_template)
+            self.fn_transect_template = template.format
+            self.fn_transects = [template.format(t) for t in recipe["transect"] if t != "write"]
+        else:
+            self.fn_transect_template = None
+
+        self.ledger = StageLedger(output, prefix, logger)
+        self.logger.info("velocity-flow pipeline ready")
+
+    def _resolve_water_level_source(self, h_a, cross, cross_wl) -> Optional[CrossSection]:
+        """Decide where h_a comes from: argument, recipe, or optical detection.
+
+        Returns the water-level cross-section when optical detection is to
+        run, mutating the recipe so downstream stages see a consistent view.
+        """
+        recipe_h_a = self.recipe["video"].get("h_a")
         if h_a is not None:
-            if abs(h_a - camera_config.gcps["h_ref"]) > const.WATER_LEVEL_MAX_DIFF:
-                logger.warning(
-                    f"Water level is very different from reference "
-                    f"({h_a - camera_config.gcps['h_ref']} m); check units/datum."
+            gap = abs(h_a - self.cam_config.gcps["h_ref"])
+            if gap > const.WATER_LEVEL_MAX_DIFF:
+                self.logger.warning(
+                    f"supplied water level sits {gap:.2f} m from h_ref — verify the datum"
                 )
-        if h_a is None and recipe["video"].get("h_a") is None and cross is None and cross_wl is None:
-            raise click.UsageError(
-                "No actual water level found and none in recipe. Provide a water level or a cross "
-                "section with `--cross_wl` to estimate the level optically."
-            )
-        if h_a is not None:
-            recipe["video"]["h_a"] = h_a
-            logger.info(f"Water level provided as argument: h = {h_a} m.")
-        elif cross_wl is not None:
-            logger.info("Cross section for water level detection provided; level will be estimated optically.")
+            self.recipe["video"]["h_a"] = h_a
+            self.logger.info(f"water level from argument: h = {h_a} m")
+            return None
+        if cross_wl is not None:
+            self.logger.info("water level will be detected optically on the supplied cross-section")
             coords, crs = cli_utils.read_shape(fn=cross_wl)
-            if crs is not None and getattr(camera_config, "crs", None) is not None:
+            if crs is not None and getattr(self.cam_config, "crs", None) is not None:
                 from ..api.cameraconfig import xyz_transform
                 from ..geom import crs as crs_mod
 
-                coords = xyz_transform(coords, crs, crs_mod.CRS.from_user_input(camera_config.crs))
-            cross_section_wl = CrossSection(camera_config=camera_config, cross_section=coords)
-            if "water_level" not in recipe:
-                recipe["water_level"] = {}
-        elif recipe["video"].get("h_a") is not None:
-            logger.info(f"Water level provided in recipe: h = {recipe['video']['h_a']} m.")
-        else:
-            logger.error(
-                "No water level provided on CLI and no cross section provided. Use the same value as h_ref "
-                f"in your camera config: --h_a {camera_config.gcps['h_ref']}"
+                coords = xyz_transform(coords, crs, crs_mod.CRS.from_user_input(self.cam_config.crs))
+            self.recipe.setdefault("water_level", {})
+            return CrossSection(camera_config=self.cam_config, cross_section=coords)
+        if recipe_h_a is not None:
+            self.logger.info(f"water level from recipe: h = {recipe_h_a} m")
+            return None
+        if cross is None:
+            raise click.UsageError(
+                "A water level is required: pass --h_a, put h_a in the recipe's video "
+                "section, or supply --cross_wl for optical detection."
             )
-            raise click.Abort()
-        self.proj_method = "numpy"
-        self.update = update
-        self.recipe = recipe
-        self.output = output
-        self.concurrency = concurrency
-        self.prefix = prefix
-        self.cross_section_wl = cross_section_wl
-        self.cross_section_fn = cross
-        self.fn_piv = os.path.join(self.output, prefix + fn_piv)
-        self.fn_piv_mask = os.path.join(self.output, prefix + fn_piv_mask) if "mask" in recipe else self.fn_piv
-        self.fn_transect_template = (
-            os.path.join(self.output, prefix + fn_transect_template).format if "transect" in recipe else None
+        self.logger.error(
+            "no water level available — as a fallback you may reuse the camera config's "
+            f"reference level: --h_a {self.cam_config.gcps['h_ref']}"
         )
-        if self.fn_transect_template is not None:
-            self.fn_transects = [self.fn_transect_template(t) for t in recipe["transect"] if t != "write"]
-        self.fn_video = videofile
-        self.cam_config = camera_config
-        self.logger = logger
-        self.logger.info("Velocity Flow Processor initialized")
+        raise click.Abort()
 
-    def _timed(self, name, fn, *args, **kwargs):
-        """Run one stage with per-stage wall-clock logging (SURVEY §5: the
-        reference has only tqdm bars; the TPU build logs stage timings)."""
-        import time as _time
-
-        t0 = _time.perf_counter()
-        out = fn(*args, **kwargs)
-        self.logger.info(f"Stage '{name}' completed in {_time.perf_counter() - t0:.2f} s")
-        return out
+    # -- orchestration ---------------------------------------------------
 
     def process(self):
-        """Run all stages in the fixed order. Reference :447-496."""
-        self.logger.info("Starting velocimetry processing pipeline")
-        self._timed("video", self.video, **self.recipe["video"])
-        if self.cross_section_wl is not None:
-            self._timed("water_level", self.water_level, **self.recipe.get("water_level", {}))
-        self._timed("frames", self.frames, **self.recipe["frames"])
-        self._timed("velocimetry", self.velocimetry, **self.recipe["velocimetry"])
-        if "mask" in self.recipe:
-            if self.recipe.get("velocimetry", {}).get("get_piv", {}).get("ensemble_corr", False):
-                self.logger.warning(
-                    "Masks on an ensemble-correlation velocimetry: time-dependent masks have no effect."
-                )
-            self._timed("mask", self.mask, **self.recipe["mask"])
-        else:
-            self.velocimetry_mask_obj = self.velocimetry_obj
-        if "transect" in self.recipe:
-            if self.cross_section_fn is not None:
-                self.recipe["transect"].setdefault("transect_1", {})
-                self.recipe["transect"]["transect_1"]["shapefile"] = self.cross_section_fn
-            self._timed("transect", self.transect, **self.recipe["transect"])
-        if "plot" in self.recipe:
-            self._timed("plot", self.plot, **self.recipe["plot"])
-        self.logger.info("Velocimetry processing pipeline completed :-)")
+        """Run the stage table in order, honoring the ledger under --update."""
+        self.logger.info("pipeline start")
+        for spec in PIPELINE:
+            if spec.name == "water_level" and self.cross_section_wl is None:
+                continue
+            if spec.optional and spec.name != "water_level" and spec.recipe_key not in self.recipe:
+                if spec.name == "mask":
+                    # downstream stages read the masked object; alias it
+                    self.velocimetry_mask_obj = self.velocimetry_obj
+                continue
+            if spec.name == "transect" and self.cross_section_fn is not None:
+                group = self.recipe["transect"].setdefault("transect_1", {})
+                group["shapefile"] = self.cross_section_fn
+            params = self.recipe.get(spec.recipe_key, {}) if spec.recipe_key else {}
+            self._run_stage(spec, params)
+        self.logger.info("pipeline finished")
+
+    def _run_stage(self, spec: StageSpec, params: Dict):
+        import time as _time
+
+        tracked = [getattr(self, a) for a in spec.tracked_files]
+        if spec.cached and self.update and self.ledger.is_current(
+            spec.name, self.recipe, spec.config_keys, tracked
+        ):
+            # the literal word "skipping" is part of the log contract
+            self.logger.info(f'stage "{spec.name}" unchanged since the last run — skipping')
+            if spec.reload_attr is not None:
+                fn = getattr(self, spec.reload_file)
+                self.logger.info(f'stage "{spec.name}" restored from {os.path.abspath(fn)}')
+                setattr(self, spec.reload_attr, ndx.open_dataset(fn))
+            return
+        if spec.name == "mask" and self.recipe.get("velocimetry", {}).get("get_piv", {}).get(
+            "ensemble_corr", False
+        ):
+            self.logger.warning(
+                "masking an ensemble-correlation result: time-dependent masks are inert"
+            )
+        self.logger.info(f'stage "{spec.name}" running')
+        t0 = _time.perf_counter()
+        try:
+            getattr(self, spec.name)(**params)
+        except (click.UsageError, click.Abort):
+            raise
+        except Exception as err:
+            self.logger.error(f'stage "{spec.name}" failed: {err}')
+            raise RuntimeError(f'Pipeline stage "{spec.name}" failed: {err}') from err
+        if spec.config_keys:
+            self.ledger.commit(spec.name, self.recipe, spec.config_keys, tracked)
+        self.logger.info(f'stage "{spec.name}" done in {_time.perf_counter() - t0:.2f} s')
+
+    # -- stage bodies ----------------------------------------------------
 
     def video(self, **kwargs):
-        try:
-            self.logger.debug(f"Reading video {self.fn_video} from file")
-            self.video_obj = Video(self.fn_video, camera_config=self.cam_config, **kwargs)
-            self.logger.info(f"Video successfully read from {self.fn_video}")
-        except Exception as e:
-            self.logger.error(f"Could not read video from {self.fn_video}. Error: {e}")
-            raise Exception(f"Could not read video from {self.fn_video}. Error: {e}")
+        self.video_obj = Video(self.fn_video, camera_config=self.cam_config, **kwargs)
+        self.logger.info(f"opened {self.fn_video}")
 
     def water_level(self, **kwargs):
-        try:
-            self.logger.debug("Estimating water level optically.")
-            h_a = get_water_level(self.video_obj, cross_section=self.cross_section_wl, logger=self.logger, **kwargs)
-            if h_a is None:
-                self.logger.error("Water level could not be estimated from video. Set a level with --h_a.")
-                raise click.Abort()
-            self.logger.info("Water level estimated optically h = {:1.3f} m. in local datum.".format(h_a))
-            self.video_obj.h_a = float(h_a)
-        except Exception as e:
-            self.logger.error(f"Could not estimate water level from video. Error: {e}")
-            raise Exception(f"Could not estimate water level from video. Error: {e}")
+        level = get_water_level(
+            self.video_obj, cross_section=self.cross_section_wl, logger=self.logger, **kwargs
+        )
+        if level is None:
+            self.logger.error("optical detection found no confident water level; supply --h_a")
+            raise click.Abort()
+        self.logger.info(f"optical water level: h = {level:1.3f} m (local datum)")
+        self.video_obj.h_a = float(level)
 
     def frames(self, **kwargs):
-        try:
-            self.logger.debug("Retrieving frames from video.")
-            self.da_frames = self.video_obj.get_frames()
-            self.logger.debug(f"Retrieved {len(self.da_frames)} frames from video.")
-            if "project" not in kwargs:
-                kwargs["project"] = {}
-            self.da_frames = apply_methods(
-                self.da_frames, "frames", logger=self.logger, skip_args=["to_video", "to_geotiff"], **kwargs
+        self.da_frames = self.video_obj.get_frames()
+        self.logger.debug(f"{len(self.da_frames)} frames available")
+        kwargs.setdefault("project", {})
+        self.da_frames = apply_methods(
+            self.da_frames, "frames", logger=self.logger,
+            skip_args=["to_video", "to_geotiff"], **kwargs,
+        )
+        if "to_video" in kwargs:
+            opts = kwargs["to_video"] or {}
+            opts.setdefault("fn", os.path.join(self.output, self.prefix + "processed_frames.mp4"))
+            self.logger.info(f"encoding preprocessed frames -> {opts['fn']}")
+            self.da_frames.frames.to_video(**opts)
+        if "to_geotiff" in kwargs:
+            opts = kwargs["to_geotiff"] or {}
+            opts.setdefault("frame", 0)
+            opts.setdefault(
+                "fn",
+                os.path.join(self.output, self.prefix + "frame_{:04d}.tif".format(opts["frame"])),
             )
-            if "to_video" in kwargs:
-                kwargs_video = kwargs["to_video"] or {}
-                kwargs_video.setdefault("fn", os.path.join(self.output, self.prefix + "processed_frames.mp4"))
-                self.logger.info(f"Writing video of processed frames to {kwargs_video['fn']}")
-                self.da_frames.frames.to_video(**kwargs_video)
-            if "to_geotiff" in kwargs:
-                kwargs_geotiff = kwargs["to_geotiff"] or {}
-                kwargs_geotiff.setdefault("frame", 0)
-                kwargs_geotiff.setdefault(
-                    "fn", os.path.join(self.output, self.prefix + "frame_{:04d}.tif".format(kwargs_geotiff["frame"]))
-                )
-                self.logger.info(f"Writing geotiff of frame {kwargs_geotiff['frame']} to {kwargs_geotiff['fn']}")
-                self.da_frames.frames.to_geotiff(**kwargs_geotiff)
-            self.logger.info("Frames retrieved and preprocessed.")
-        except Exception as e:
-            self.logger.error(f"Could not extract frames from video. Error: {e}")
-            raise Exception(f"Could not extract frames from video. Error: {e}")
+            self.logger.info(f"writing frame {opts['frame']} -> {opts['fn']}")
+            self.da_frames.frames.to_geotiff(**opts)
 
-    @run_func_hash_io(
-        attrs=["velocimetry_obj"],
-        check=True,
-        inputs=["fn_video"],
-        configs=["video", "frames", "velocimetry"],
-        outputs=["fn_piv"],
-    )
     def velocimetry(self, method="get_piv", write=False, write_ugrid=False, fill_na=None, **kwargs):
-        self.logger.debug(f"Performing velocimetry with {method}.")
-        try:
-            if len(kwargs) > 1:
-                raise OverflowError(f"Too many arguments under velocimetry, only one allowed, {len(kwargs)} given.")
-            kwargs[method] = kwargs.get(method, {}) if len(kwargs) == 0 else kwargs[method]
-            self.velocimetry_obj = apply_methods(self.da_frames, "frames", logger=self.logger, **kwargs)
-            m = list(kwargs.keys())[0]
-            self.logger.info(f"Velocimetry derived with method {m} with parameters {kwargs[m]}")
-            if write:
-                self.velocimetry_obj.to_netcdf(self.fn_piv)
-                self.logger.info(f"Velocimetry written to {self.fn_piv}")
-                self.velocimetry_obj = ndx.open_dataset(self.fn_piv)
-            if write_ugrid:
-                fn_piv_ugrid = self.fn_piv.replace(".nc", "_ugrid.nc")
-                self.velocimetry_obj.velocimetry.to_ugrid(fill_na=fill_na).to_netcdf(fn_piv_ugrid)
-                self.logger.info(f"Velocimetry ugrid written to {fn_piv_ugrid}")
-            self.logger.info("Velocimetry successfully derived.")
-        except Exception as e:
-            self.logger.error(f"Could not derive velocimetry from frames. Error: {e}")
-            raise Exception(f"Could not derive velocimetry from frames. Error: {e}")
+        if len(kwargs) > 1:
+            raise ValueError(
+                f"The velocimetry section takes a single method; {len(kwargs)} were given."
+            )
+        call = kwargs or {method: {}}
+        self.velocimetry_obj = apply_methods(self.da_frames, "frames", logger=self.logger, **call)
+        name, params = next(iter(call.items()))
+        self.logger.info(f"velocity field computed via {name}({params or {}})")
+        if write:
+            self.velocimetry_obj.to_netcdf(self.fn_piv)
+            self.logger.info(f"velocity field -> {self.fn_piv}")
+            self.velocimetry_obj = ndx.open_dataset(self.fn_piv)
+        if write_ugrid:
+            fn = self.fn_piv.replace(".nc", "_ugrid.nc")
+            self.velocimetry_obj.velocimetry.to_ugrid(fill_na=fill_na).to_netcdf(fn)
+            self.logger.info(f"UGRID mesh -> {fn}")
 
-    @run_func_hash_io(
-        attrs=["velocimetry_mask_obj"],
-        check=True,
-        inputs=["fn_piv"],
-        configs=["video", "frames", "velocimetry", "mask"],
-        outputs=["fn_piv_mask"],
-    )
-    def mask(self, write=False, write_ugrid=False, fill_na=None, **kwargs):
-        try:
-            self.logger.debug("Applying masks to velocimetry.")
-            self.velocimetry_mask_obj = copy.deepcopy(self.velocimetry_obj)
-            for mask_name, mask_grp in kwargs.items():
-                self.logger.debug(f'Applying "{mask_name}" with parameters {mask_grp}')
-                masks = get_masks(self.velocimetry_mask_obj, **(mask_grp or {}))
-                self.velocimetry_mask_obj.velocimetry.mask(masks, inplace=True)
-            self.logger.info("Velocimetry masks applied")
-            self.velocimetry_mask_obj.velocimetry.set_encoding()
-            if write:
-                self.velocimetry_mask_obj.to_netcdf(self.fn_piv_mask)
-                self.logger.info(f"Velocimetry masked written to {self.fn_piv_mask}")
-            if write_ugrid:
-                fn_piv_mask_ugrid = self.fn_piv_mask.replace(".nc", "_ugrid.nc")
-                self.velocimetry_mask_obj.velocimetry.to_ugrid(fill_na=fill_na).to_netcdf(fn_piv_mask_ugrid)
-                self.logger.info(f"Velocimetry masked ugrid written to {fn_piv_mask_ugrid}")
-        except Exception as e:
-            self.logger.error(f"Could not apply masks to velocimetry. Error: {e}")
-            raise Exception(f"Could not apply masks to velocimetry. Error: {e}")
+    def mask(self, write=False, write_ugrid=False, fill_na=None, **mask_groups):
+        self.velocimetry_mask_obj = copy.deepcopy(self.velocimetry_obj)
+        for group, methods in mask_groups.items():
+            self.logger.debug(f"mask group {group}: {methods}")
+            self.velocimetry_mask_obj.velocimetry.mask(
+                get_masks(self.velocimetry_mask_obj, **(methods or {})), inplace=True
+            )
+        self.velocimetry_mask_obj.velocimetry.set_encoding()
+        self.logger.info(f"{len(mask_groups)} mask group(s) applied")
+        if write:
+            self.velocimetry_mask_obj.to_netcdf(self.fn_piv_mask)
+            self.logger.info(f"masked field -> {self.fn_piv_mask}")
+        if write_ugrid:
+            fn = self.fn_piv_mask.replace(".nc", "_ugrid.nc")
+            self.velocimetry_mask_obj.velocimetry.to_ugrid(fill_na=fill_na).to_netcdf(fn)
+            self.logger.info(f"masked UGRID mesh -> {fn}")
 
-    @run_func_hash_io(check=False, configs=["transect"], inputs=["fn_piv_mask"])
-    def transect(self, write=False, **kwargs):
-        try:
-            self.logger.debug("Deriving transects from velocimetry.")
-            self.transects = {}
-            _kwargs = copy.deepcopy(kwargs)
-            for transect_name, transect_grp in _kwargs.items():
-                self.logger.debug(f'Processing transect "{transect_name}"')
-                if not ("shapefile" in transect_grp or "geojson" in transect_grp):
-                    raise click.UsageError(
-                        f'Transect "{transect_name}" does not have a "shapefile" or "geojson" entry.'
-                    )
-                if "geojson" in transect_grp:
-                    coords, crs = cli_utils.read_shape(geojson=transect_grp["geojson"])
-                else:
-                    coords, crs = cli_utils.read_shape(fn=transect_grp["shapefile"])
-                if len(coords[0]) == 2:
-                    raise click.UsageError(
-                        f"Transect {transect_name} only contains x, y, but no z-coordinates."
-                    )
-                x, y, z = zip(*coords)
-                transect_grp["get_transect"] = transect_grp.get("get_transect") or {}
-                self.transects[transect_name] = self.velocimetry_mask_obj.velocimetry.get_transect(
-                    x=x, y=y, z=z, crs=crs, **transect_grp["get_transect"]
+    def transect(self, write=False, **transect_groups):
+        self.transects = {}
+        for name, group in copy.deepcopy(transect_groups).items():
+            self.logger.debug(f"transect {name}")
+            source = group.get("geojson") or group.get("shapefile")
+            if source is None:
+                raise click.UsageError(
+                    f'Transect "{name}" needs a "shapefile" or "geojson" entry.'
                 )
-                if "get_q" in transect_grp:
-                    transect_grp["get_q"] = transect_grp.get("get_q") or {}
-                    self.transects[transect_name] = self.transects[transect_name].transect.get_q(
-                        **transect_grp["get_q"]
+            if "geojson" in group:
+                coords, crs = cli_utils.read_shape(geojson=group["geojson"])
+            else:
+                coords, crs = cli_utils.read_shape(fn=group["shapefile"])
+            if len(coords[0]) == 2:
+                raise click.UsageError(
+                    f'Transect "{name}" carries only (x, y); bathymetry needs z as well.'
+                )
+            x, y, z = zip(*coords)
+            ds = self.velocimetry_mask_obj.velocimetry.get_transect(
+                x=x, y=y, z=z, crs=crs, **(group.get("get_transect") or {})
+            )
+            if "get_q" in group:
+                ds = ds.transect.get_q(**(group.get("get_q") or {}))
+            if "get_river_flow" in group:
+                if "get_q" not in group:
+                    raise click.UsageError(
+                        f'Transect "{name}" requests get_river_flow without get_q.'
                     )
-                if "get_river_flow" in transect_grp:
-                    if "get_q" not in transect_grp:
-                        raise click.UsageError(
-                            f'"get_river_flow" found in {transect_name} but no "get_q" found (required).'
-                        )
-                    transect_grp["get_river_flow"] = transect_grp.get("get_river_flow") or {}
-                    self.transects[transect_name].transect.get_river_flow(**transect_grp["get_river_flow"])
-                if write:
-                    fn_transect = os.path.abspath(self.fn_transect_template(transect_name))
-                    self.transects[transect_name].to_netcdf(fn_transect)
-                    self.logger.info(f'Transect "{transect_name}" written to {fn_transect}')
-            self.logger.info("Transects derived.")
-        except Exception as e:
-            self.logger.error(f"Could not derive transects from velocimetry. Error: {e}")
-            raise Exception(f"Could not derive transects from velocimetry. Error: {e}")
+                ds.transect.get_river_flow(**(group.get("get_river_flow") or {}))
+            self.transects[name] = ds
+            if write:
+                fn = os.path.abspath(self.fn_transect_template(name))
+                ds.to_netcdf(fn)
+                self.logger.info(f"transect {name} -> {fn}")
 
-    @run_func_hash_io(
-        check=False, configs=["video", "frames", "velocimetry", "transect", "plot"], inputs=["fn_video", "fn_piv_mask"]
-    )
     def plot(self, **plot_recipes):
-        try:
-            self.logger.debug("Plotting velocimetry.")
-            _plot_recipes = copy.deepcopy(plot_recipes)
-            for name, plot_params in _plot_recipes.items():
-                if not isinstance(plot_params, dict):
-                    continue
-                self.logger.debug(f'Processing plot "{name}"')
-                fn_jpg = os.path.join(self.output, self.prefix + name + ".jpg")
-                mode = plot_params.get("mode", "local")
-                ax = None
-                if "frames" in plot_params:
-                    n = plot_params.get("frame_number", 0)
-                    opts = plot_params["frames"] or {}
-                    f = self.video_obj.get_frames(method="rgb")
-                    if mode != "camera":
-                        f = f.isel(time=slice(n, n + 1)).frames.project(method=self.proj_method).isel(time=0)
-                    else:
-                        f = f.isel(time=n)
-                    ax = f.frames.plot(ax=ax, mode=mode, **opts)
-                if "velocimetry" in plot_params:
-                    opts = vmin_vmax_to_norm(plot_params["velocimetry"] or {})
-                    reducer = plot_params.get("reducer", "mean")
-                    reducer_params = plot_params.get("reducer_params", {})
-                    velocimetry_reduced = getattr(self.velocimetry_mask_obj, reducer)(dim="time", **reducer_params)
-                    velocimetry_reduced.attrs = dict(self.velocimetry_mask_obj.attrs)
-                    ax = velocimetry_reduced.velocimetry.plot(ax=ax, mode=mode, **opts)
-                if "transect" in plot_params:
-                    for transect_name, opts in plot_params["transect"].items():
-                        opts = vmin_vmax_to_norm(opts or {})
-                        fn_transect = self.fn_transect_template(transect_name)
-                        ds_trans = ndx.open_dataset(fn_transect)
-                        quantile = opts.pop("quantile", 2)
-                        ds_trans_q = ds_trans.isel(quantile=quantile)
-                        ds_trans_q.attrs = dict(ds_trans.attrs)
-                        ax = ds_trans_q.transect.plot(ax=ax, mode=mode, **opts)
-                write_pars = plot_params.get("write_pars", {})
-                self.logger.debug(f'Writing plot "{name}" to {fn_jpg}')
-                ax.figure.savefig(fn_jpg, **write_pars)
-                self.logger.info(f'Plot "{name}" written to {fn_jpg}')
-            self.logger.info("Plot procedure done.")
-        except Exception as e:
-            self.logger.error(f"Could not plot velocimetry. Error: {e}")
-            raise Exception(f"Could not plot velocimetry. Error: {e}")
+        for name, params in copy.deepcopy(plot_recipes).items():
+            if not isinstance(params, dict):
+                continue
+            self.logger.debug(f"composing figure {name}")
+            mode = params.get("mode", "local")
+            ax = None
+            if "frames" in params:
+                n = params.get("frame_number", 0)
+                rgb = self.video_obj.get_frames(method="rgb")
+                if mode == "camera":
+                    layer = rgb.isel(time=n)
+                else:
+                    layer = (
+                        rgb.isel(time=slice(n, n + 1))
+                        .frames.project(method=self.proj_method)
+                        .isel(time=0)
+                    )
+                ax = layer.frames.plot(ax=ax, mode=mode, **(params["frames"] or {}))
+            if "velocimetry" in params:
+                opts = vmin_vmax_to_norm(params["velocimetry"] or {})
+                reducer = params.get("reducer", "mean")
+                reduced = getattr(self.velocimetry_mask_obj, reducer)(
+                    dim="time", **params.get("reducer_params", {})
+                )
+                reduced.attrs = dict(self.velocimetry_mask_obj.attrs)
+                ax = reduced.velocimetry.plot(ax=ax, mode=mode, **opts)
+            if "transect" in params:
+                for tname, topts in params["transect"].items():
+                    topts = vmin_vmax_to_norm(topts or {})
+                    ds = ndx.open_dataset(self.fn_transect_template(tname))
+                    dsq = ds.isel(quantile=topts.pop("quantile", 2))
+                    dsq.attrs = dict(ds.attrs)
+                    ax = dsq.transect.plot(ax=ax, mode=mode, **topts)
+            fn_jpg = os.path.join(self.output, self.prefix + name + ".jpg")
+            ax.figure.savefig(fn_jpg, **params.get("write_pars", {}))
+            self.logger.info(f"figure {name} -> {fn_jpg}")
+
+
+# ---------------------------------------------------------------------------
+# entry points
+# ---------------------------------------------------------------------------
 
 
 def _parse_camconfig_dict(cameraconfig: Dict) -> Dict:
-    """Camera config dict possibly holding stringified values (to_dict_str output)."""
+    """Decode a camera-config dict whose values may arrive stringified."""
+    literal_keys = {
+        "height", "width", "resolution", "window_size", "is_nadir", "lens_position",
+        "gcps", "rvec", "tvec", "dist_coeffs", "camera_matrix", "stabilize", "rotation",
+    }
     out = {}
     for k, v in cameraconfig.items():
-        if isinstance(v, str) and k in (
-            "height", "width", "resolution", "window_size", "is_nadir",
-            "lens_position", "gcps", "rvec", "tvec", "dist_coeffs", "camera_matrix", "stabilize", "rotation",
-        ):
-            try:
-                out[k] = json.loads(v)
-            except json.JSONDecodeError:
-                try:
-                    import ast
-
-                    out[k] = ast.literal_eval(v)
-                except (ValueError, SyntaxError):
-                    out[k] = v
-        else:
+        if not (isinstance(v, str) and k in literal_keys):
             out[k] = v
+            continue
+        try:
+            out[k] = json.loads(v)
+        except json.JSONDecodeError:
+            import ast
+
+            try:
+                out[k] = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                out[k] = v
     return out
 
 
 def velocity_flow(**kwargs):
-    """Execute the entire velocimetry processor. Reference :787-794."""
-    processor = VelocityFlowProcessor(**kwargs)
-    processor.process()
-    del processor
+    """Build a processor from the kwargs and run the full pipeline."""
+    VelocityFlowProcessor(**kwargs).process()
 
 
 def velocity_flow_subprocess(
@@ -558,11 +574,13 @@ def velocity_flow_subprocess(
     concurrency: bool = True,
     logger: logging.Logger = logging,
 ):
-    """Serialize inputs to temp files and run `pyorc-tpu velocimetry` in a subprocess.
+    """Run the pipeline in a child ``pyorc-tpu velocimetry`` process.
 
-    Reference :796-884 (used for embedding in other applications, e.g. NodeORC).
+    Inputs are serialized into ``output`` first (recipe YAML, camera-config
+    JSON, optional cross-section GeoJSONs) so the child is fully
+    self-contained — the embedding pattern external applications use.
     """
-    logger.info(f"Launching separate pyorc-tpu instance for videofile {videofile}")
+    logger.info(f"spawning pipeline subprocess for {videofile}")
     os.makedirs(output, exist_ok=True)
     fn_recipe = os.path.join(output, "recipe.yml")
     fn_cam_config = os.path.join(output, "camera_config.json")
@@ -570,28 +588,25 @@ def velocity_flow_subprocess(
         yaml.dump(recipe, f, default_flow_style=False, sort_keys=False)
     CameraConfig(**_parse_camconfig_dict(cameraconfig)).to_file(fn_cam_config)
     if shutil.which("pyorc-tpu"):
-        launcher = ["pyorc-tpu"]
+        argv = ["pyorc-tpu"]
     else:
-        # entry point not installed (e.g. running from a source checkout)
-        launcher = [sys.executable, "-m", "pyorc_tpu.cli.main"]
-    cmd = launcher + ["velocimetry", "-V", videofile, "-c", fn_cam_config, "-r", fn_recipe]
+        argv = [sys.executable, "-m", "pyorc_tpu.cli.main"]  # source checkout
+    argv += ["velocimetry", "-V", videofile, "-c", fn_cam_config, "-r", fn_recipe]
     if h_a is not None:
-        cmd += ["-h", str(h_a)]
-    if cross is not None:
-        cross_fn = os.path.join(output, "cross.geojson")
-        with open(cross_fn, "w") as f:
-            json.dump(cross, f, indent=4)
-        cmd += ["--cross", cross_fn]
-    if h_a is None and cross_wl is not None:
-        cross_wl_fn = os.path.join(output, "cross_wl.geojson")
-        with open(cross_wl_fn, "w") as f:
-            json.dump(cross_wl, f, indent=4)
-        cmd += ["--cross_wl", cross_wl_fn]
+        argv += ["-h", str(h_a)]
+    for flag, payload, fname in (("--cross", cross, "cross.geojson"),
+                                 ("--cross_wl", cross_wl, "cross_wl.geojson")):
+        if payload is None or (flag == "--cross_wl" and h_a is not None):
+            continue
+        fn = os.path.join(output, fname)
+        with open(fn, "w") as f:
+            json.dump(payload, f, indent=4)
+        argv += [flag, fn]
     if not concurrency:
-        cmd.append("--lowmem")
+        argv.append("--lowmem")
     if update:
-        cmd.append("-u")
+        argv.append("-u")
     if prefix:
-        cmd += ["-p", prefix]
-    cmd = cmd + ["-u", "-vvv", output]
-    return subprocess.run(cmd, cwd=os.path.dirname(output) or ".", capture_output=True, text=True)
+        argv += ["-p", prefix]
+    argv += ["-u", "-vvv", output]
+    return subprocess.run(argv, cwd=os.path.dirname(output) or ".", capture_output=True, text=True)

@@ -61,6 +61,26 @@ def _shard_enabled() -> bool:
     return jax.device_count() > 1
 
 
+def _as_device(chunk):
+    """Chunk -> device array without a host round-trip.
+
+    Lazy op chains (decode -> filters -> ortho) hand DEVICE arrays to the
+    engine; ``np.asarray`` on those would download the whole chunk through
+    the host and re-upload it. Only genuinely host-side chunks get a
+    device_put.
+    """
+    import jax
+
+    if isinstance(chunk, jax.Array):
+        return chunk
+    return jax.device_put(np.asarray(chunk))
+
+
+def _as_host(chunk):
+    """Chunk -> host ndarray (for the host-side mesh sharding paths)."""
+    return np.asarray(chunk)
+
+
 def _run_chunk_oom_backoff(fn, chunk, min_frames=3):
     """Run fn(chunk_frames) with halving splits on device OOM.
 
@@ -208,13 +228,13 @@ def _piv_timestep(
 
             if passes > 1:
                 return parallel.piv_multipass_sharded(
-                    np.asarray(frames_np), sas, ov, sas, passes=passes,
+                    _as_host(frames_np), sas, ov, sas, passes=passes,
                     signal_threshold=signal_threshold,
                 )
             return parallel.piv_pairs_sharded(
-                np.asarray(frames_np), sas, ov, sas, signal_threshold=signal_threshold
+                _as_host(frames_np), sas, ov, sas, signal_threshold=signal_threshold
             )
-        dev = jax.device_put(np.asarray(frames_np))
+        dev = _as_device(frames_np)
         if passes > 1:
             return multipass.piv_multipass(
                 dev, dim_size, sas, ov, n_rows, n_cols, passes=passes,
@@ -263,19 +283,19 @@ def _piv_ensemble(
             from .. import parallel
 
             cs, cc, cmax, s2n = parallel.piv_ensemble_sharded(
-                np.asarray(chunk), sas, ov, sas,
+                _as_host(chunk), sas, ov, sas,
                 corr_min=corr_min, s2n_min=s2n_min, signal_threshold=signal_threshold,
             )
         elif use_fused:
             from ..ops import piv_pallas
 
             cs, cc, cmax, s2n = piv_pallas.piv_ensemble_fused(
-                jax.device_put(np.asarray(chunk)), dim_size, sas, ov, n_rows, n_cols,
+                _as_device(chunk), dim_size, sas, ov, n_rows, n_cols,
                 corr_min, s2n_min, signal_threshold,
             )
         else:
             cs, cc, cmax, s2n = piv_ops.piv_ensemble_scan(
-                jax.device_put(np.asarray(chunk)),
+                _as_device(chunk),
                 dim_size,
                 sas,
                 ov,

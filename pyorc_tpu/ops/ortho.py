@@ -6,6 +6,17 @@ image pixels, computed once per video/water level by
 ``CameraConfig.map_idx_img_ortho`` / ``map_mean_idx_img_ortho``) become static
 gather/segment-sum indices, so the whole batch of frames is remapped in one
 fused device op — no data-dependent control flow, no host round-trips.
+
+Layout: everything is ONE gather from a padded source
+``[frame pixels | zero sentinel | group means]`` indexed by a single
+precomputed ``full_idx`` per target cell. Compared to the earlier
+gather+mask+scatter formulation this (a) keeps the gather in the SOURCE
+dtype (uint8 frames move 4x fewer bytes than float32), (b) needs no
+covered-mask multiply (uncovered cells point at the sentinel), and (c)
+needs no TPU scatter for the oversampled-cell means (mean cells point into
+the appended means block). Group means are computed in float32 and cast to
+the source dtype — for uint8 frames that truncation happened anyway in the
+callers' final ``astype``; results are bit-identical.
 """
 
 from __future__ import annotations
@@ -23,14 +34,10 @@ __all__ = ["OrthoMaps", "build_ortho_maps", "project_batch"]
 class OrthoMaps(NamedTuple):
     """Static index maps for one (camera_config, water level) pair."""
 
-    idx_img: np.ndarray  # [n_nn] flat source-image indices (nearest-neighbour)
-    ortho_pos: np.ndarray  # [n_nn] flat target-grid indices for the NN scatter
-    gather_idx: np.ndarray  # [rows*cols] inverse map: source index per target
-    # cell (uncovered cells clamp to 0 and are zeroed by covered_mask)
-    covered_mask: np.ndarray  # [rows*cols] float32 1.0 where a source exists
+    full_idx: np.ndarray  # [rows*cols] indices into [src (H*W) | zero | means]
     src_idx: Optional[np.ndarray]  # [n_mean] flat source indices for group-mean
-    uidx: Optional[np.ndarray]  # [n_groups] target indices receiving means
     norm_idx: Optional[np.ndarray]  # [n_mean] group id per src sample
+    counts: Optional[np.ndarray]  # [n_groups] static group sizes
     shape_in: Tuple[int, int]  # (H, W) of camera frames
     shape_out: Tuple[int, int]  # (rows, cols) of ortho grid
 
@@ -39,61 +46,67 @@ def build_ortho_maps(camera_config, x, y, z, reducer: str = "mean") -> OrthoMaps
     """Precompute index maps on the host (once per video / water level)."""
     idx_img, idx_ortho = camera_config.map_idx_img_ortho(x, y, z)
     ortho_pos = np.where(idx_ortho)[0]
+    h, w = camera_config.height, camera_config.width
+    n_src = h * w
+    # uncovered cells point at the zero sentinel appended after the frame
+    full_idx = np.full(len(x) * len(y), n_src, np.int32)
+    full_idx[np.asarray(ortho_pos)] = np.asarray(idx_img)
     if reducer == "mean":
         src_idx, uidx, norm_idx = camera_config.map_mean_idx_img_ortho(x, y, z)
     else:
         src_idx = uidx = norm_idx = None
-    # invert the NN scatter into a gather (each target cell is written at most
-    # once): TPU scatters serialize, gathers stream — this is the difference
-    # between ~77 and ~6 ms per 4K frame
-    gather_idx = np.zeros(len(x) * len(y), np.int32)
-    gather_idx[np.asarray(ortho_pos)] = np.asarray(idx_img)
-    covered_mask = np.zeros(len(x) * len(y), np.float32)
-    covered_mask[np.asarray(ortho_pos)] = 1.0
+    counts = None
+    if src_idx is not None and len(np.asarray(uidx)):
+        src_idx = np.asarray(src_idx, dtype=np.int32)
+        norm_idx = np.asarray(norm_idx, dtype=np.int32)
+        uidx = np.asarray(uidx, dtype=np.int64)
+        counts = np.bincount(norm_idx, minlength=len(uidx)).astype(np.float32)
+        # oversampled cells read their group's mean from the appended block
+        full_idx[uidx] = n_src + 1 + np.arange(len(uidx), dtype=np.int64)
+    else:
+        src_idx = norm_idx = None
     return OrthoMaps(
-        idx_img=np.asarray(idx_img, dtype=np.int32),
-        ortho_pos=np.asarray(ortho_pos, dtype=np.int32),
-        gather_idx=gather_idx,
-        covered_mask=covered_mask,
-        src_idx=None if src_idx is None else np.asarray(src_idx, dtype=np.int32),
-        uidx=None if uidx is None else np.asarray(uidx, dtype=np.int32),
-        norm_idx=None if norm_idx is None else np.asarray(norm_idx, dtype=np.int32),
-        shape_in=(camera_config.height, camera_config.width),
+        full_idx=full_idx,
+        src_idx=src_idx,
+        norm_idx=norm_idx,
+        counts=counts,
+        shape_in=(h, w),
         shape_out=(len(y), len(x)),
     )
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _project_batch_jit(flat_frames, maps_arrays, n_groups, shape_out):
-    gather_idx, covered_mask, src_idx, norm_idx, uidx = maps_arrays
+    full_idx, src_idx, norm_idx, counts = maps_arrays
     ny, nx = shape_out
     t = flat_frames.shape[0]
-    # gather in the SOURCE dtype (uint8 frames stream 4x less than f32),
-    # cast after, and zero uncovered cells with the static mask (clamped
-    # indices; a pad-cell concat would copy the whole frame batch)
-    out = jnp.take(flat_frames, gather_idx, axis=1).astype(jnp.float32)
-    out = out * covered_mask[None, :]
+    zero = jnp.zeros((t, 1), flat_frames.dtype)
     if src_idx is not None:
-        samples = flat_frames[:, src_idx].astype(jnp.float32)  # [T, n_mean]
-        sums = jax.ops.segment_sum(samples.T, norm_idx, num_segments=n_groups).T  # [T, n_groups]
-        counts = jax.ops.segment_sum(jnp.ones_like(norm_idx, dtype=jnp.float32), norm_idx, num_segments=n_groups)
-        means = sums / counts[None, :]
-        out = out.at[:, uidx].set(means)
+        samples = jnp.take(flat_frames, src_idx, axis=1).astype(jnp.float32)
+        sums = jax.ops.segment_sum(samples.T, norm_idx, num_segments=n_groups).T
+        means = (sums / counts[None, :]).astype(flat_frames.dtype)
+        padded = jnp.concatenate([flat_frames, zero, means], axis=1)
+    else:
+        padded = jnp.concatenate([flat_frames, zero], axis=1)
+    out = jnp.take(padded, full_idx, axis=1)
     return out.reshape(t, ny, nx)
 
 
 def project_batch(frames, maps: OrthoMaps):
-    """Orthorectify a batch of frames [T, H, W] -> [T, rows, cols] (float32)."""
+    """Orthorectify a batch of frames [T, H, W] -> [T, rows, cols].
+
+    Output dtype equals the input dtype (uint8 stays uint8 end to end);
+    uncovered target cells are zero.
+    """
     frames = jnp.asarray(frames)
     if frames.dtype not in (jnp.uint8.dtype, jnp.float32.dtype):
         frames = frames.astype(jnp.float32)
     flat = frames.reshape(frames.shape[0], -1)
     maps_arrays = (
-        jnp.asarray(maps.gather_idx),
-        jnp.asarray(maps.covered_mask),
+        jnp.asarray(maps.full_idx),
         None if maps.src_idx is None else jnp.asarray(maps.src_idx),
         None if maps.norm_idx is None else jnp.asarray(maps.norm_idx),
-        None if maps.uidx is None else jnp.asarray(maps.uidx),
+        None if maps.counts is None else jnp.asarray(maps.counts),
     )
-    n_groups = 0 if maps.uidx is None else int(len(maps.uidx))
+    n_groups = 0 if maps.counts is None else int(len(maps.counts))
     return _project_batch_jit(flat, maps_arrays, n_groups, maps.shape_out)

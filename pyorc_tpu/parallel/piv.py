@@ -207,6 +207,7 @@ def piv_multipass_sharded(
     passes: int = 2,
     signal_threshold: Optional[float] = None,
     corr_method: str = "auto",
+    engine: str = "auto",
 ):
     """Multi-pass deformation PIV sharded over frame pairs.
 
@@ -215,6 +216,12 @@ def piv_multipass_sharded(
     cascade runs per shard with no collectives — same halo construction as
     :func:`piv_pairs_sharded` (BASELINE config 4: multi-pass adaptive PIV on
     a v5e-8 mesh).
+
+    ``engine`` follows :func:`pyorc_tpu.ops.multipass.piv_multipass`:
+    'auto' runs each pass's correlation through the fused Pallas kernel on
+    TPU backends (per shard, inside shard_map) and the XLA cascade on CPU;
+    'fused-interpret' exercises the kernel-in-shard composition on a CPU
+    mesh.
 
     Returns (u, v, corr_max, s2n) each [n_pairs, n_rows, n_cols] (numpy).
     """
@@ -240,7 +247,7 @@ def piv_multipass_sharded(
         u, v, cmax, s2n = multipass.piv_multipass(
             frames_dev[0], dim_size, sas, ov, n_rows, n_cols,
             passes=passes, signal_threshold=signal_threshold,
-            corr_method=method, engine="xla",
+            corr_method=method, engine=engine,
         )
         return u[None], v[None], cmax[None], s2n[None]
 

@@ -61,6 +61,35 @@ def _shard_enabled() -> bool:
     return jax.device_count() > 1
 
 
+def _plan_mesh2d(n_pairs: int, n_rows: int, n_dev: int):
+    """Pick a (pairs, rows) mesh split, or None for the 1-D pairs mesh.
+
+    The pair axis is the natural shard dimension; only when a chunk has too
+    few pairs to occupy every device does the window-grid row axis take the
+    remainder (SURVEY §2.4 bullet 2 — large rasters, short pair batches).
+    Returns (dp, dr) with dp*dr == n_dev and dr > 1, or None.
+    ``PYORC_TPU_MESH2D`` overrides: "0" disables, an integer forces dr.
+    """
+    import os
+
+    forced = os.environ.get("PYORC_TPU_MESH2D")
+    if forced == "0":
+        return None
+    if forced:
+        dr = int(forced)
+        if n_dev % dr == 0 and dr > 1:
+            return (n_dev // dr, dr)
+        return None
+    if n_pairs >= n_dev:
+        return None
+    # largest divisor of n_dev that the pair count can still fill
+    dp = max(d for d in range(1, n_dev + 1) if n_dev % d == 0 and d <= max(n_pairs, 1))
+    dr = n_dev // dp
+    if dr <= 1 or n_rows < dr:
+        return None
+    return (dp, dr)
+
+
 def _as_device(chunk):
     """Chunk -> device array without a host round-trip.
 
@@ -231,8 +260,21 @@ def _piv_timestep(
                     _as_host(frames_np), sas, ov, sas, passes=passes,
                     signal_threshold=signal_threshold,
                 )
+            host = _as_host(frames_np)
+            plan = _plan_mesh2d(host.shape[0] - 1, n_rows, jax.device_count())
+            if plan is not None:
+                from jax.sharding import Mesh
+
+                dp, dr = plan
+                mesh2d = Mesh(np.asarray(jax.devices()).reshape(dp, dr), ("pairs", "rows"))
+                try:
+                    return parallel.piv_pairs_sharded_2d(
+                        host, sas, ov, sas, mesh=mesh2d, signal_threshold=signal_threshold
+                    )
+                except ValueError:
+                    pass  # non-uniform window grid: fall through to the 1-D mesh
             return parallel.piv_pairs_sharded(
-                _as_host(frames_np), sas, ov, sas, signal_threshold=signal_threshold
+                host, sas, ov, sas, signal_threshold=signal_threshold
             )
         dev = _as_device(frames_np)
         if passes > 1:

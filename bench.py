@@ -68,6 +68,56 @@ def _bench_config(window: int, h: int = 1088, w: int = 1920, n_frames: int = 65)
     return pairs_per_sec, tflops
 
 
+def _bench_chain_4k(window: int = 64, n_frames: int = 33):
+    """Measured 4K normalize+orthorectify+ensemble-PIV chain, pairs/s on-chip.
+
+    Runs the SAME ops the lazy frame chain dispatches per chunk
+    (flt.normalize_with_mean -> ortho.project_batch -> piv_ensemble_fused)
+    on device-synthesized uint8 4K frames with the bench_e2e camera config's
+    real ortho index maps, so the number is the chip-bound rate of the whole
+    BASELINE workload minus decode.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from bench_e2e import H_IMG, W_IMG, nadir_config
+    from pyorc_tpu.ops import filters as flt
+    from pyorc_tpu.ops import ortho as ortho_ops
+    from pyorc_tpu.ops import piv_pallas, windows
+
+    cc = nadir_config()
+    shape = cc.shape
+    y = np.flipud(np.linspace(cc.resolution / 2, cc.resolution * (shape[0] - 0.5), shape[0]))
+    x = np.linspace(cc.resolution / 2, cc.resolution * (shape[1] - 0.5), shape[1])
+    maps = ortho_ops.build_ortho_maps(cc, x, y, 0.0, reducer="mean")
+    oh, ow = maps.shape_out
+    sas = (window, window)
+    overlap = (window // 2, window // 2)
+    n_rows, n_cols = windows.get_field_shape((oh, ow), sas, overlap)
+
+    key = jax.random.PRNGKey(3)
+    frames = jax.block_until_ready(
+        jax.random.randint(key, (n_frames, H_IMG, W_IMG), 0, 255, jnp.int32).astype(jnp.uint8)
+    )
+    mean_img = jnp.zeros((H_IMG, W_IMG), jnp.float32) + 127.0
+
+    def chain(f):
+        f = flt.normalize_with_mean(f, mean_img)
+        f = ortho_ops.project_batch(f, maps)
+        cs, cnt, cmax, s2n = piv_pallas.piv_ensemble_fused(
+            f, (oh, ow), sas, overlap, n_rows, n_cols, 0.2, 3.0, None
+        )
+        return float(jnp.nansum(cmax) + jnp.nansum(cs[:2]))
+
+    _ = chain(frames)  # compile
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = chain(frames)
+        dt = min(dt, time.perf_counter() - t0)
+    return (n_frames - 1) / dt
+
+
 def main():
     import sys
 
@@ -89,6 +139,8 @@ def main():
             for win in (16, 26, 32)
             for p, t in [_bench_config(win, h, w)]
         }
+    if "--chain" in sys.argv or "--full" in sys.argv:
+        out["chain_4k_pairs_per_sec"] = round(_bench_chain_4k(), 1)
     print(json.dumps(out))
 
 

@@ -97,11 +97,16 @@ class Frames(ORCBase):
 
     def normalize(self, samples: int = 15) -> ndx.DataArray:
         """Remove the temporal mean of sampled frames. Reference frames.py:279-306."""
+        import jax
+
         n = self._obj.shape[0]
         time_interval = round(n / samples)
         assert time_interval != 0, f"Amount of frames is too small to provide {samples} samples"
         sampled = np.asarray(self._obj.data[::time_interval]).astype(np.float32)
-        mean = sampled.mean(axis=0)
+        # device-put once: the op below runs per streamed chunk, and the mean
+        # image is tens of MB at 4K — re-uploading it each chunk would rival
+        # the filter's own cost
+        mean = jax.device_put(sampled.mean(axis=0))
         out = self._map_device(lambda f: flt.normalize_with_mean(f, mean))
         return self._with_data(out)
 

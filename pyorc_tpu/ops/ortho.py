@@ -92,6 +92,31 @@ def _project_batch_jit(flat_frames, maps_arrays, n_groups, shape_out):
     return out.reshape(t, ny, nx)
 
 
+# device-resident copies of the index maps, keyed by the identity of the
+# host arrays: the PIV chain calls project_batch once per streamed chunk, and
+# re-uploading ~20 MB of int32 maps per chunk costs more than the gather
+# itself (especially through a tunneled backend). Keys hold a reference to
+# the host array so ids stay valid for the cache's lifetime.
+_DEVICE_MAPS_CACHE = {}
+
+
+def _device_maps(maps: OrthoMaps):
+    key = id(maps.full_idx)
+    hit = _DEVICE_MAPS_CACHE.get(key)
+    if hit is not None and hit[0] is maps.full_idx:
+        return hit[1]
+    arrays = (
+        jnp.asarray(maps.full_idx),
+        None if maps.src_idx is None else jnp.asarray(maps.src_idx),
+        None if maps.norm_idx is None else jnp.asarray(maps.norm_idx),
+        None if maps.counts is None else jnp.asarray(maps.counts),
+    )
+    if len(_DEVICE_MAPS_CACHE) >= 8:
+        _DEVICE_MAPS_CACHE.pop(next(iter(_DEVICE_MAPS_CACHE)))
+    _DEVICE_MAPS_CACHE[key] = (maps.full_idx, arrays)
+    return arrays
+
+
 def project_batch(frames, maps: OrthoMaps):
     """Orthorectify a batch of frames [T, H, W] -> [T, rows, cols].
 
@@ -102,11 +127,5 @@ def project_batch(frames, maps: OrthoMaps):
     if frames.dtype not in (jnp.uint8.dtype, jnp.float32.dtype):
         frames = frames.astype(jnp.float32)
     flat = frames.reshape(frames.shape[0], -1)
-    maps_arrays = (
-        jnp.asarray(maps.full_idx),
-        None if maps.src_idx is None else jnp.asarray(maps.src_idx),
-        None if maps.norm_idx is None else jnp.asarray(maps.norm_idx),
-        None if maps.counts is None else jnp.asarray(maps.counts),
-    )
     n_groups = 0 if maps.counts is None else int(len(maps.counts))
-    return _project_batch_jit(flat, maps_arrays, n_groups, maps.shape_out)
+    return _project_batch_jit(flat, _device_maps(maps), n_groups, maps.shape_out)

@@ -387,6 +387,58 @@ def piv_pairs(imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold=Non
     return _piv_pairs_jit(imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold, method)
 
 
+# budget for the materialized correlation-plane tensor of one XLA dispatch;
+# beyond this the window grid is processed in row-band strips (small windows
+# on large frames otherwise blow up compile-time HLO temps — the 16 px 1080p
+# configuration alone wants ~34 GB in one program)
+_STRIP_CORR_BYTES = 256 * 1024 * 1024
+
+
+def piv_pairs_strips(
+    imgs,
+    dim_size,
+    sas,
+    overlap,
+    n_rows,
+    n_cols,
+    signal_threshold=None,
+    corr_method="auto",
+    corr_budget_bytes: Optional[int] = None,
+):
+    """Per-pair PIV with the window grid processed in row-band strips.
+
+    Each strip is an image row band cut on window boundaries (uniform strided
+    grids only — the same constraint as the 2-D mesh sharding), dispatched
+    through :func:`piv_pairs` on the sliced frames. Strip heights are equal
+    except possibly the last, so at most two XLA programs compile. Falls back
+    to the single dispatch when the grid is non-uniform or already under
+    budget.
+    """
+    if corr_budget_bytes is None:
+        corr_budget_bytes = _STRIP_CORR_BYTES
+    imgs = jnp.asarray(imgs)
+    n_pairs = imgs.shape[0] - 1
+    row0, col0 = win.get_window_starts(dim_size, sas, overlap)
+    step_y = _strided_axis_starts(np.asarray(row0), sas[0])
+    total_bytes = n_pairs * n_rows * n_cols * sas[0] * sas[1] * 4
+    if step_y is None or total_bytes <= corr_budget_bytes:
+        return piv_pairs(imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold, corr_method)
+    rows_per_strip = max(1, corr_budget_bytes // (n_pairs * n_cols * sas[0] * sas[1] * 4))
+    outs = ([], [], [], [])
+    for r0 in range(0, n_rows, rows_per_strip):
+        r1 = min(r0 + rows_per_strip, n_rows)
+        nb = r1 - r0
+        top = int(row0[r0])
+        h_band = (nb - 1) * step_y + sas[0]
+        band = jax.lax.slice_in_dim(imgs, top, top + h_band, axis=imgs.ndim - 2)
+        part = piv_pairs(
+            band, (h_band, dim_size[1]), sas, overlap, nb, n_cols, signal_threshold, corr_method
+        )
+        for acc, a in zip(outs, part):
+            acc.append(np.asarray(a))
+    return tuple(np.concatenate(acc, axis=1) for acc in outs)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9))
 def _piv_ensemble_scan_jit(
     imgs,

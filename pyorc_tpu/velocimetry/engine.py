@@ -47,6 +47,20 @@ def _chunk_plan(n_frames, dim_size, window_size, overlap, search_area_size, chun
     return int(chunksize)
 
 
+def _engine_mode():
+    """Optional engine override from PYORC_TPU_ENGINE.
+
+    Accepted: "xla" (force the XLA pipeline), "fused" (force the Pallas
+    kernel), "fused-interpret" (kernel in interpret mode — lets CPU-backend
+    tests drive the exact kernel code paths real configs use on TPU).
+    Anything else (or unset) keeps the backend-based auto choice.
+    """
+    import os
+
+    mode = os.environ.get("PYORC_TPU_ENGINE")
+    return mode if mode in ("xla", "fused", "fused-interpret") else None
+
+
 def _shard_enabled() -> bool:
     """Shard chunks over the pair axis when more than one device is visible.
 
@@ -245,7 +259,11 @@ def _piv_timestep(
     # the fused Pallas kernel is the fast path on TPU backends; the XLA
     # pipeline covers CPU and non-strided window grids. Multi-pass runs
     # route their per-pass correlations through the kernel too.
-    use_fused = jax.default_backend() not in ("cpu",)
+    mode = _engine_mode()
+    use_fused = (
+        mode.startswith("fused") if mode else jax.default_backend() not in ("cpu",)
+    )
+    interpret = mode == "fused-interpret"
     dt_vals = np.asarray(dt.values if hasattr(dt, "values") else dt, dtype=np.float64)
     us, vs, cms, s2ns = [], [], [], []
     pbar = tqdm(total=data.shape[0] - 1, desc="PIV (per frame pair)", position=0, leave=True)
@@ -281,11 +299,16 @@ def _piv_timestep(
             return multipass.piv_multipass(
                 dev, dim_size, sas, ov, n_rows, n_cols, passes=passes,
                 signal_threshold=signal_threshold,
-                engine="fused" if use_fused else "xla",
+                engine=(mode or ("fused" if use_fused else "xla")),
             )
         if use_fused:
-            return piv_pallas.piv_pairs_fused(dev, dim_size, sas, ov, n_rows, n_cols, signal_threshold)
-        return piv_ops.piv_pairs(dev, dim_size, sas, ov, n_rows, n_cols, signal_threshold)
+            return piv_pallas.piv_pairs_fused(
+                dev, dim_size, sas, ov, n_rows, n_cols, signal_threshold, interpret=interpret
+            )
+        # strip-wise dispatch caps the materialized correlation tensor, which
+        # lets small-window configs (geul 16 px at 1080p) run on the CPU
+        # backend instead of compile-OOMing in one giant program
+        return piv_ops.piv_pairs_strips(dev, dim_size, sas, ov, n_rows, n_cols, signal_threshold)
 
     for start, chunk in _iter_chunks(data, chunksize):
         u, v, cmax, s2n = _run_chunk_oom_backoff(run_one, chunk)
@@ -319,7 +342,11 @@ def _piv_ensemble(
     n_pairs_total = data.shape[0] - 1
     pbar = tqdm(total=n_pairs_total, desc="PIV (ensemble)", position=0, leave=True)
     use_sharded = _shard_enabled()
-    use_fused = jax.default_backend() not in ("cpu",)
+    mode = _engine_mode()
+    use_fused = (
+        mode.startswith("fused") if mode else jax.default_backend() not in ("cpu",)
+    )
+    interpret = mode == "fused-interpret"
     for start, chunk in _iter_chunks(data, chunksize):
         if use_sharded:
             from .. import parallel
@@ -333,7 +360,7 @@ def _piv_ensemble(
 
             cs, cc, cmax, s2n = piv_pallas.piv_ensemble_fused(
                 _as_device(chunk), dim_size, sas, ov, n_rows, n_cols,
-                corr_min, s2n_min, signal_threshold,
+                corr_min, s2n_min, signal_threshold, interpret=interpret,
             )
         else:
             cs, cc, cmax, s2n = piv_ops.piv_ensemble_scan(

@@ -156,7 +156,14 @@ class GcpSelect(BaseSelect):
 
 
 class AoiSelect(BaseSelect):
-    """Click 4 corner points of the area of interest."""
+    """Click 4 corner points of the area of interest.
+
+    Live preview (reference cli_elements.py:236-359): once all 4 corners are
+    clicked, the resulting orthorectification bounding box is drawn in the
+    camera view (projected through the camera model) and — when the camera
+    config carries a CRS — in a geographic side panel, so the user sees the
+    exact AOI the pipeline will use before confirming.
+    """
 
     def __init__(self, img, src=None, dst=None, camera_config=None, logger=None, **kwargs):
         super().__init__(
@@ -166,10 +173,75 @@ class AoiSelect(BaseSelect):
             title="Click 4 corner points: upstream-left, downstream-left, downstream-right, upstream-right",
         )
         self.camera_config = camera_config
+        (self.bbox_plot,) = self.ax.plot([], [], "c-", linewidth=2, label="AOI bbox")
+        self.ax_geo = None
+        self.bbox_geo_plot = None
+        if camera_config is not None and getattr(camera_config, "crs", None) is not None:
+            self._add_geo_panel(kwargs.get("tiles", None), kwargs.get("zoom_level", 18))
+
+    def _add_geo_panel(self, tiles, zoom_level):
+        """Geographic side panel showing the AOI bbox over an optional basemap."""
+        try:
+            from ..geom import crs as crs_mod
+
+            self.ax.set_position([0.05, 0.1, 0.58, 0.8])
+            self.ax_geo = self.fig.add_axes([0.68, 0.1, 0.28, 0.8])
+            self.ax_geo.set_title("AOI (geographic)")
+            dst = np.asarray([d[:2] for d in self.camera_config.gcps["dst"]], dtype=np.float64)
+            lon, lat = crs_mod.transform_points(self.camera_config.crs, 4326, dst[:, 0], dst[:, 1])
+            pad_lon = max((lon.max() - lon.min()) * 0.5, 2e-4)
+            pad_lat = max((lat.max() - lat.min()) * 0.5, 2e-4)
+            extent = (lon.min() - pad_lon, lon.max() + pad_lon, lat.min() - pad_lat, lat.max() + pad_lat)
+            if tiles is not None:
+                import warnings
+
+                from ..io import basemap
+
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    basemap.add_basemap(self.ax_geo, extent, tiles=tiles, zoom_level=zoom_level)
+            self.ax_geo.plot(lon, lat, "r+", markersize=8)
+            self.ax_geo.set_xlim(extent[0], extent[1])
+            self.ax_geo.set_ylim(extent[2], extent[3])
+            (self.bbox_geo_plot,) = self.ax_geo.plot([], [], "c-", linewidth=2)
+        except Exception as e:
+            self.logger.debug(f"No geographic AOI panel: {e}")
+            self.ax_geo = None
+
+    def redraw(self):
+        super().redraw()
+        if len(self.src) == 4 and self.camera_config is not None:
+            import copy
+
+            try:
+                cc = copy.deepcopy(self.camera_config)
+                cc.set_bbox_from_corners(self.src)
+                cam = np.asarray(cc.get_bbox(mode="camera", within_image=True).exterior.coords)
+                self.bbox_plot.set_data(cam[:, 0], cam[:, 1])
+                if self.ax_geo is not None and self.bbox_geo_plot is not None:
+                    from ..geom import crs as crs_mod
+
+                    geo = np.asarray(cc.get_bbox().exterior.coords)
+                    lon, lat = crs_mod.transform_points(cc.crs, 4326, geo[:, 0], geo[:, 1])
+                    self.bbox_geo_plot.set_data(lon, lat)
+                    self.ax_geo.relim()
+                    self.ax_geo.autoscale_view()
+                self.fig.canvas.draw_idle()
+            except Exception as e:
+                self.logger.debug(f"AOI bbox preview failed: {e}")
+        else:
+            self.bbox_plot.set_data([], [])
+            if self.bbox_geo_plot is not None:
+                self.bbox_geo_plot.set_data([], [])
 
 
 class StabilizeSelect(BaseSelect):
-    """Click a polygon around the water area (outside is used for stabilization)."""
+    """Click a polygon around the water area (outside is used for stabilization).
+
+    The clicked region is rendered live as a translucent polygon (reference
+    cli_elements.py:455-535): inside is the excluded water area, the rim
+    outside feeds the stabilization feature tracker.
+    """
 
     def __init__(self, img, logger=None, **kwargs):
         super().__init__(
@@ -178,3 +250,18 @@ class StabilizeSelect(BaseSelect):
             max_points=None,
             title="Click a polygon enclosing the moving water area (Enter to finish)",
         )
+        from matplotlib.patches import Polygon as MplPolygon
+
+        self.poly_patch = MplPolygon(
+            np.zeros((0, 2)), closed=True, facecolor="c", edgecolor="c", alpha=0.3, visible=False
+        )
+        self.ax.add_patch(self.poly_patch)
+
+    def redraw(self):
+        super().redraw()
+        if len(self.src) >= 3:
+            self.poly_patch.set_xy(np.asarray(self.src))
+            self.poly_patch.set_visible(True)
+        else:
+            self.poly_patch.set_visible(False)
+        self.fig.canvas.draw_idle()

@@ -241,9 +241,27 @@ def camera_config(
 )
 @click.option("-u", "--update", is_flag=True, default=False, help="Only update changed stages (hash cache)")
 @click.option("--lowmem", is_flag=True, default=False, help="Reduce memory usage (synchronous processing)")
+@click.option(
+    "--num-hosts",
+    type=int,
+    default=1,
+    help="Multi-host run: total number of cooperating hosts. Each host "
+    "processes its own frame segment (one-frame halo) of the video; host 0 "
+    "writes a manifest for stitching.",
+)
+@click.option("--host-id", type=int, default=None, help="This host's id (0-based) in a --num-hosts run")
+@click.option(
+    "--coordinator",
+    type=str,
+    default=None,
+    help="jax.distributed coordinator address (host:port) for --num-hosts runs",
+)
 @verbose_opt
 @click.pass_context
-def velocimetry(ctx, output, videofile, recipe, cameraconfig, prefix, h_a, cross, cross_wl, update, lowmem, verbose):
+def velocimetry(
+    ctx, output, videofile, recipe, cameraconfig, prefix, h_a, cross, cross_wl, update,
+    lowmem, num_hosts, host_id, coordinator, verbose,
+):
     """Estimate surface velocities and discharge from a video using a recipe."""
     from .. import service
 
@@ -252,6 +270,23 @@ def velocimetry(ctx, output, videofile, recipe, cameraconfig, prefix, h_a, cross
         "velocimetry", os.path.join(output, "pyorc_tpu.log"), append=False, log_level=log_level
     )
     logger.info(f"Preparing your velocimetry result in {output}")
+    if num_hosts > 1:
+        # outer (DCN) parallelism: this host runs the standard pipeline on
+        # its own frame segment; jax.distributed coordinates only
+        import cv2
+
+        from ..parallel import distributed as dist
+
+        pid, nproc = dist.init_distributed(coordinator, num_hosts, host_id)
+        cap = cv2.VideoCapture(videofile)
+        n_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        cap.release()
+        start, end = dist.segment_frame_ranges(n_frames, nproc)[pid]
+        recipe.setdefault("video", {})
+        recipe["video"]["start_frame"] = int(start)
+        recipe["video"]["end_frame"] = int(end) - 1
+        prefix = f"{prefix}host{pid:03d}_"
+        logger.info(f"Host {pid}/{nproc}: frames [{start}, {end}) -> prefix {prefix}")
     service.velocity_flow(
         recipe=recipe,
         videofile=videofile,
@@ -265,6 +300,27 @@ def velocimetry(ctx, output, videofile, recipe, cameraconfig, prefix, h_a, cross
         concurrency=not lowmem,
         logger=logger,
     )
+    if num_hosts > 1:
+        from ..parallel import distributed as dist
+
+        dist.barrier("pipeline-done")
+        import jax
+
+        if jax.process_index() == 0:
+            import json as _json
+
+            segs = dist.segment_frame_ranges(n_frames, num_hosts)
+            manifest = {
+                "num_processes": num_hosts,
+                "n_frames": n_frames,
+                "segments": {
+                    str(i): {"start_frame": s, "end_frame": e, "prefix": f"host{i:03d}_"}
+                    for i, (s, e) in enumerate(segs)
+                },
+            }
+            with open(os.path.join(output, "manifest.json"), "w") as f:
+                _json.dump(manifest, f, indent=2)
+            logger.info("Multi-host manifest written to manifest.json")
 
 
 if __name__ == "__main__":

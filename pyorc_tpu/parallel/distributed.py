@@ -29,6 +29,7 @@ __all__ = [
     "segment_frame_ranges",
     "barrier",
     "process_videos_multihost",
+    "process_segments_multihost",
 ]
 
 
@@ -133,3 +134,45 @@ def process_videos_multihost(
         }
         (outdir / "manifest.json").write_text(json.dumps(manifest, indent=2))
     return outputs
+
+
+def process_segments_multihost(
+    n_frames: int,
+    run_segment,
+    output_dir: str,
+    process_id: Optional[int] = None,
+    num_processes: Optional[int] = None,
+    halo: int = 1,
+) -> str:
+    """Run this host's frame segment of ONE long video.
+
+    ``run_segment(start_frame, end_frame, out_path)`` processes frames
+    [start, end) — segments share a ``halo``-frame overlap so every frame
+    pair is owned by exactly one host. After the closing barrier, host 0
+    writes ``manifest.json`` mapping hosts to their (segment, artifact), so
+    a consumer can stitch results in pair order. Returns this host's output
+    path.
+    """
+    import jax
+
+    pid = jax.process_index() if process_id is None else process_id
+    nproc = jax.process_count() if num_processes is None else num_processes
+    segs = segment_frame_ranges(n_frames, nproc, halo=halo)
+    start, end = segs[pid]
+    outdir = Path(output_dir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    out = str(outdir / f"segment_{pid:03d}_piv.nc")
+    run_segment(start, end, out)
+    barrier("segments-done")
+    if pid == 0:
+        manifest = {
+            "num_processes": nproc,
+            "n_frames": n_frames,
+            "segments": {
+                str(i): {"start_frame": s, "end_frame": e,
+                         "artifact": f"segment_{i:03d}_piv.nc"}
+                for i, (s, e) in enumerate(segs)
+            },
+        }
+        (outdir / "manifest.json").write_text(json.dumps(manifest, indent=2))
+    return out

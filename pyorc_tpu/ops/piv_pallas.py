@@ -484,7 +484,7 @@ def _tb_kernel(
     cst_ref,  # [3, pwh, pxw]: lin_mod, row_mod, col_mod
     b1x_ref,  # [pxw, px]
     b1y_ref,  # [pwh, py]
-    qt_ref,  # [n_t, py, n_cols]
+    qt_ref,  # [5*bband*n_t, py, n_cols] (host-tiled: one per assembled scalar x band)
     qs_ref,  # [px, n_cols]
     u_ref,
     v_ref,
@@ -492,16 +492,17 @@ def _tb_kernel(
     s2n_ref,
     band_a,  # VMEM scratch [2, band_h, W] (double buffer)
     band_b,
-    tiles_s,  # VMEM scratch [2*n_t, pwh, pxw]: packed tiles for frames a/b
+    tiles_s,  # VMEM scratch [2*bband*n_t, pwh, pxw]: packed tiles, frames a/b
     sem_a,
     sem_b,
     *,
     w: int,
     step_y: int,
     step_x: int,
-    n_rows: int,
+    n_rows: int,  # bands processed by THIS launch; a multiple of bband
     n_cols: int,
     band_h: int,
+    bband: int,  # bands per loop iteration (batched through the whole math)
     pair_stride: int,  # 1: consecutive frames; 2: interleaved (a0,b0,a1,b1..)
 ):
     pair = pl.program_id(0) * pair_stride
@@ -514,9 +515,7 @@ def _tb_kernel(
     col_mod = cst_ref[2]
     b1x = b1x_ref[:]
     b1y = b1y_ref[:]
-    b1xt = b1x.T
-    b1yt = b1y.T
-    qt = qt_ref[:]
+    qt5 = qt_ref[:]
     qs = qs_ref[:]
     aligned = step_y % 8 == 0
     py, px = _tb_shape(w)
@@ -524,16 +523,39 @@ def _tb_kernel(
     pxw = px * w
     pwh = py * wp
     g2 = 2 * py * px
-    n_t = qt.shape[0]
+    n_t = qt5.shape[0] // (5 * bband)
     n_pix = w * w
     T = lambda x: jnp.swapaxes(x, -1, -2)
     mm = lambda x, m: jnp.matmul(x, m, preferred_element_type=jnp.float32)
-    # blockwise scatter/gather matmuls carry VALUES (not FLOPs): the default
-    # single-pass-bf16 MXU precision rounds them, which breaks the exact
-    # `corr >= bcast(blockmax(corr))` peak test — force full fp32
-    mmx = lambda x, m: jnp.matmul(
-        x, m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-    )
+    # Blockwise gather matmuls carry VALUES (not FLOPs): ablation put them at
+    # ~47% of kernel time when they ran at HIGHEST (6-pass fp32). Mosaic
+    # rejects Precision.HIGH, so ~18-bit accuracy is built by hand: one
+    # 1-pass bf16 matmul on the bf16-roundable part plus one on the residual
+    # (the 0/1 gather matrices are exact in bf16, so each pass is exact for
+    # its operand part). Nothing downstream of a block_sum needs more — the
+    # one bit-exact consumer, the `corr >= blockmax` peak compare, uses the
+    # exact 3-pass split (mm3 in ``bcast``).
+    def mm1(x, m):
+        return jnp.matmul(x, m, preferred_element_type=jnp.float32)
+
+    def mm2(x, m):
+        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        return mm1(hi, m) + mm1(x - hi, m)
+
+    def mm3(x, m):
+        # EXACT for 0/1 matrices: fp32's 24-bit mantissa splits into three
+        # bf16-exact 8-bit parts (round-to-nearest residuals are exactly
+        # representable), each pass exact, fp32 accumulation exact
+        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        r1 = x - hi
+        mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+        return mm1(hi, m) + mm1(mid, m) + mm1(r1 - mid, m)
+
+    mmx = mm2
+    mt = bband * n_t  # tiles per frame per group
+
+    b1xt = b1x.T
+    b1yt = b1y.T
 
     def block_sum(x):  # [n_t, pwh, pxw] -> [n_t, py(r), px(c)]
         return T(mmx(T(mmx(x, b1x)), b1y))
@@ -547,8 +569,15 @@ def _tb_kernel(
     rmax = lambda x, ax: jnp.max(x, axis=ax, keepdims=True)
     rmin = lambda x, ax: jnp.min(x, axis=ax, keepdims=True)
 
-    def bcast(m):  # [n_t, py(r), px(c)] -> [n_t, pwh, pxw] (zero at padding rows)
-        return T(mmx(T(mmx(m, b1xt)), b1yt))
+    def bcast(m, mm=None):
+        # [n_t, py(r), px(c)] -> [n_t, pwh, pxw] (zero at padding rows).
+        # Exactness is per-site: the peak compare needs all 24 fp32 mantissa
+        # bits (mm3, the default — half the passes of Precision.HIGHEST);
+        # small-integer peak coordinates are exact even at 1-pass bf16 (mm1);
+        # approximate means ride the 2-pass split (mm2).
+        if mm is None:
+            mm = mm3
+        return T(mm(T(mm(m, b1xt)), b1yt))
 
     def dft2t(v):  # [n_t, pwh, pxw] -> transposed spectra [n_t, pxw, pwh]
         p_ = mm(v, pmx[0])
@@ -577,7 +606,7 @@ def _tb_kernel(
         rolled = pltpu.roll(buf, band_h - (r0 - r0a), 0)
         return jax.lax.slice_in_dim(rolled, 0, wp, axis=0)
 
-    def build_tiles(band, f):  # [wp, W] -> [n_t, pwh, pxw] via scratch stores
+    def build_tiles(band, f, b):  # [wp, W] stored into tiles_s[(f*bband+b)*n_t :]
         # one [wp, px*w] store per tile row: at 50% overlap px consecutive
         # same-parity windows are CONTIGUOUS in the band (window c+2q starts
         # at in-slice lane q*w). (Mosaic rejects sublane-concats of slices
@@ -586,54 +615,57 @@ def _tb_kernel(
             u_, par = divmod(t, 2)
             for r in range(py):
                 w0 = min(u_ * g2 + 2 * px * r + par, n_cols - 1)
-                tiles_s[f * n_t + t, wp * r : wp * (r + 1), :] = jax.lax.slice_in_dim(
-                    band, w0 * step_x, w0 * step_x + pxw, axis=1
+                tiles_s[(f * bband + b) * n_t + t, wp * r : wp * (r + 1), :] = (
+                    jax.lax.slice_in_dim(band, w0 * step_x, w0 * step_x + pxw, axis=1)
                 )
-        return tiles_s[f * n_t : (f + 1) * n_t]
-
-    def assemble(s):  # [n_t, py(r), px(q)] -> [1, n_cols] in window order
-        m1 = mmx(T(s), qt)  # [n_t, px(q), n_cols]
-        m2 = jax.lax.index_in_dim(m1, 0, 0, keepdims=False)
-        for t in range(1, n_t):
-            m2 = m2 + jax.lax.index_in_dim(m1, t, 0, keepdims=False)
-        return mmx(jnp.ones((1, px), jnp.float32), m2 * qs)  # [1, n_cols]
 
     da0, db0 = get_dma(0, 0)
     da0.start()
     db0.start()
 
-    def loop_body(band_idx, _):
-        slot = band_idx % 2
-        nxt = (band_idx + 1) % 2
+    def loop_body(g, _):
+        # stream bband bands into the tile scratch (double-buffered DMA),
+        # then run the whole math pipeline ONCE on the [bband*n_t] batch —
+        # per-op issue overhead amortizes over bband bands
+        first = g * bband
+        for b in range(bband):
+            band_idx = first + b
+            slot = band_idx % 2
+            nxt = (band_idx + 1) % 2
 
-        @pl.when(band_idx + 1 < n_rows)
-        def _():
-            da, db = get_dma(nxt, band_idx + 1)
-            da.start()
-            db.start()
+            @pl.when(band_idx + 1 < n_rows)
+            def _(nxt=nxt, band_idx=band_idx):
+                da, db = get_dma(nxt, band_idx + 1)
+                da.start()
+                db.start()
 
-        da, db = get_dma(slot, band_idx)
-        da.wait()
-        db.wait()
-        a = build_tiles(extract_band(band_a[slot], band_idx), 0)
-        b = build_tiles(extract_band(band_b[slot], band_idx), 1)
+            da, db = get_dma(slot, band_idx)
+            da.wait()
+            db.wait()
+            build_tiles(extract_band(band_a[slot], band_idx), 0, b)
+            build_tiles(extract_band(band_b[slot], band_idx), 1, b)
 
         # EXPLICIT packed-domain demeaning (block means broadcast back): the
         # DC-mask trick alone is exact in exact arithmetic, but correlating
         # raw high-mean data leaves ~(mu/sigma)^2-times-larger low-frequency
         # spectral products whose fp32 cancellation noise corrupts smooth
-        # imagery at the 1% level
-        sum_a = block_sum(a)
-        sum_b = block_sum(b)
-        a = a - bcast(sum_a / n_pix)
-        b = b - bcast(sum_b / n_pix)
-        ssq_a = block_sum(a * a)
-        ssq_b = block_sum(b * b)
+        # imagery at the 1% level. Both frames of all bband bands ride one
+        # [2*mt, ...] batch through demean + forward DFT — read straight out
+        # of the tile scratch (frame-major layout), no concat copy.
+        ab = tiles_s[0 : 2 * mt]
+        # approximate means suffice: the DC mask removes the exact mean term
+        # from the correlation; demeaning only tames fp32 cancellation noise
+        ab = ab - bcast(block_sum(ab) / n_pix, mm=mmx)
+        ssqs = block_sum(ab * ab)
+        ssq_a = jax.lax.slice_in_dim(ssqs, 0, mt, axis=0)
+        ssq_b = jax.lax.slice_in_dim(ssqs, mt, 2 * mt, axis=0)
 
-        at_re, at_im = dft2t(a)
-        at_re = at_re * dc_mask  # zero DC: conj(A)B then has no mean term
-        at_im = at_im * dc_mask
-        bt_re, bt_im = dft2t(b)
+        ab_re, ab_im = dft2t(ab)
+        # zero DC on frame a: conj(A)B then has no mean term
+        at_re = jax.lax.slice_in_dim(ab_re, 0, mt, axis=0) * dc_mask
+        at_im = jax.lax.slice_in_dim(ab_im, 0, mt, axis=0) * dc_mask
+        bt_re = jax.lax.slice_in_dim(ab_re, mt, 2 * mt, axis=0)
+        bt_im = jax.lax.slice_in_dim(ab_im, mt, 2 * mt, axis=0)
         st_re = at_re * bt_re + at_im * bt_im
         st_im = at_re * bt_im - at_im * bt_re
         st_re_t = T(st_re)
@@ -653,17 +685,33 @@ def _tb_kernel(
         ix = first_lin - iy * w
         iyc = jnp.clip(iy, 1.0, w - 2.0)
         ixc = jnp.clip(ix, 1.0, w - 2.0)
-        oh = ((row_mod == bcast(iyc)) & (col_mod == bcast(ixc))).astype(jnp.float32)
-        # neighbour reads via tile rolls: the clamped stencil keeps iyc/ixc one
-        # pixel inside each window block, so the roll's cross-block wrap only
-        # lands on never-selected positions
-        c0s = block_sum(oh * corr)
-        cls = block_sum(oh * pltpu.roll(corr, 1, 2))
-        crs = block_sum(oh * pltpu.roll(corr, pxw - 1, 2))
-        cus = block_sum(oh * pltpu.roll(corr, 1, 1))
-        cds = block_sum(oh * pltpu.roll(corr, pwh - 1, 1))
+        # ONE broadcast for both peak coordinates (ablation showed this whole
+        # stencil stage at >50% of kernel time when it ran 3 bcasts, 4 tile
+        # rolls and 5 separate block_sum chains). Peak coordinates are small
+        # integers (< 128) — exact in bf16, so a single 1-pass matmul
+        iyx = bcast(jnp.concatenate([iyc, ixc], axis=0), mm=mm1)
+        iyB = jax.lax.slice_in_dim(iyx, 0, mt, axis=0)
+        ixB = jax.lax.slice_in_dim(iyx, mt, 2 * mt, axis=0)
+        at_y = row_mod == iyB
+        at_x = col_mod == ixB
+        # neighbour reads via SHIFTED one-hots (no tile rolls): the clamped
+        # stencil keeps iyc/ixc one pixel inside each window block, so the
+        # +-1 masks stay inside the block too
+        oh0 = (at_y & at_x).astype(jnp.float32)
+        ohl = (at_y & (col_mod == ixB - 1.0)).astype(jnp.float32)
+        ohr = (at_y & (col_mod == ixB + 1.0)).astype(jnp.float32)
+        ohu = ((row_mod == iyB - 1.0) & at_x).astype(jnp.float32)
+        ohd = ((row_mod == iyB + 1.0) & at_x).astype(jnp.float32)
+        # all five stencil extractions in ONE batched slice-tree: each masked
+        # plane has exactly one non-negative value per block (corr >= 0 after
+        # the clip), so blockMAX == blockSUM — and the max tree is pure VPU,
+        # no matmul passes or transposes
+        sten5 = jnp.concatenate(
+            [oh0 * corr, ohl * corr, ohr * corr, ohu * corr, ohd * corr], axis=0
+        )
+        sten = block_reduce(sten5, rmax)
 
-        # per-window scalar math on [n_t, py, px] slabs (matches _finish_corr;
+        # per-window scalar math on [mt, py, px] slabs (matches _finish_corr;
         # sigma from the demeaned tiles, like the XLA path)
         sa = jnp.sqrt(jnp.maximum(ssq_a / n_pix, 0.0))
         sb = jnp.sqrt(jnp.maximum(ssq_b / n_pix, 0.0))
@@ -675,38 +723,72 @@ def _tb_kernel(
         s2n = cmax / jnp.maximum(cmean, 1e-10)
 
         eps = 1e-10
-        norm = lambda x: jnp.maximum(jnp.where(valid, x / denom, 0.0), eps)
-        c0 = norm(c0s)
-        cl = norm(cls)
-        cr = norm(crs)
-        cu = norm(cus)
-        cd = norm(cds)
-        log0 = jnp.log(c0)
+        # normalize + log the whole 5-slab stencil stack in one pass
+        valid5 = jnp.concatenate([valid] * 5, axis=0)
+        denom5 = jnp.concatenate([denom] * 5, axis=0)
+        logs = jnp.log(jnp.maximum(jnp.where(valid5, sten / denom5, 0.0), eps))
+        sl = lambda k: jax.lax.slice_in_dim(logs, k * mt, (k + 1) * mt, axis=0)
+        log0 = sl(0)
+        lcl = sl(1)
+        lcr = sl(2)
+        lcu = sl(3)
+        lcd = sl(4)
 
         def safe_div(num, den):
             den = jnp.where(jnp.abs(den) < eps, -eps, den)
             return num / den
 
-        dx = safe_div(jnp.log(cl) - jnp.log(cr), 2 * jnp.log(cl) - 4 * log0 + 2 * jnp.log(cr))
-        dy = safe_div(jnp.log(cu) - jnp.log(cd), 2 * jnp.log(cu) - 4 * log0 + 2 * jnp.log(cd))
+        dx = safe_div(lcl - lcr, 2 * lcl - 4 * log0 + 2 * lcr)
+        dy = safe_div(lcu - lcd, 2 * lcu - 4 * log0 + 2 * lcd)
         dx = jnp.clip(dx, -1.0, 1.0)
         dy = jnp.clip(dy, -1.0, 1.0)
         u = (ixc + dx) - w // 2
         v = -((iyc + dy) - w // 2)
 
-        ok = assemble(validf) > 0.5
-        bsl = pl.ds(band_idx, 1)
-        u_ref[0, bsl, :] = jnp.where(ok, assemble(u), jnp.nan)
-        v_ref[0, bsl, :] = jnp.where(ok, assemble(v), jnp.nan)
-        cmax_ref[0, bsl, :] = assemble(cmax)
-        s2n_ref[0, bsl, :] = assemble(s2n)
+        # all five scalar fields through ONE batched assemble; entry order is
+        # (scalar, band, tile), so a [5*bband, n_t, ...] reshape sums tiles
+        # per (scalar, band) and rows land band-contiguous per scalar
+        allsc = jnp.concatenate([validf, u, v, cmax, s2n], axis=0)  # [5*mt, py, px]
+        m1 = mmx(T(allsc), qt5)  # [5*mt, px, n_cols]
+        m2 = jnp.sum(m1.reshape(5 * bband, n_t, px, n_cols), axis=1)  # [5*bband, px, n_cols]
+        rows = jnp.sum(m2 * qs, axis=1)  # [5*bband, n_cols] in window order
+        # per-band single-row stores: Mosaic only lowers dynamic sublane
+        # stores that are single-row or provably 8-aligned, and `first` is a
+        # multiple of bband, not 8
+        for b in range(bband):
+            ok = rows[b : b + 1] > 0.5
+            bsl = pl.ds(first + b, 1)
+            u_ref[0, bsl, :] = jnp.where(ok, rows[bband + b : bband + b + 1], jnp.nan)
+            v_ref[0, bsl, :] = jnp.where(ok, rows[2 * bband + b : 2 * bband + b + 1], jnp.nan)
+            cmax_ref[0, bsl, :] = rows[3 * bband + b : 3 * bband + b + 1]
+            s2n_ref[0, bsl, :] = rows[4 * bband + b : 4 * bband + b + 1]
         return 0
 
-    jax.lax.fori_loop(0, n_rows, loop_body, 0)
+    jax.lax.fori_loop(0, n_rows // bband, loop_body, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 4, 5, 6, 7))
-def _piv_pairs_tb_jit(imgs, sas, steps, band0, nb, n_cols, interpret, pair_stride=1):
+def _tb_bband(w: int, n_cols: int) -> int:
+    """Bands batched per loop iteration, sized by a VMEM live-set model.
+
+    The math pipeline's peak live set is ~8 [n_t, pwh, pad128(pxw)] fp32
+    plane-arrays (demeaned tiles + spectra + correlation + stencil stack);
+    batching bband bands multiplies that. Budget ~11MB of the 16MB scope for
+    them (tiles scratch, band buffers, DFT matrices and output blocks take
+    the rest); the wrapper's vmem-overflow retry halves on model error.
+    Measured on v5e at 16 px 1080p: 519 / 545 / 572 / 583 pairs/s at
+    bband 1 / 2 / 3 / 4 (diminishing — the band DMA + tile-build stores
+    scale with bands).
+    """
+    py, px = _tb_shape(w)
+    wp = -(-w // 8) * 8
+    g2 = 2 * py * px
+    n_t = 2 * (-(-n_cols // g2))
+    per_band = 8 * n_t * (py * wp) * (-(-(px * w) // 128) * 128) * 4
+    return max(1, min(int((11 << 20) // per_band), 4))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 4, 5, 6, 7, 8))
+def _piv_pairs_tb_jit(imgs, sas, steps, band0, nb, n_cols, interpret, pair_stride=1, bband=1):
     """Tileband variant of _piv_pairs_fused_jit (50%-overlap square windows)."""
     wy, wx = sas
     step_y, step_x = steps
@@ -725,13 +807,20 @@ def _piv_pairs_tb_jit(imgs, sas, steps, band0, nb, n_cols, interpret, pair_strid
     pxw = px * w
     pwh = py * wp
     n_t = qt.shape[0]
+    # one qt block per assembled scalar x band, tiled on the host so the
+    # kernel's batched assemble needs no per-iteration concat of a constant
+    qt5 = np.tile(qt, (5 * bband, 1, 1))
+    # the band loop runs in groups of bband; pad the strip's band count (the
+    # padded bands read real-but-irrelevant rows — the caller pads the frame
+    # tall enough — and their result rows are sliced off below)
+    nb_pad = -(-nb // bband) * bband
 
     kernel = functools.partial(
-        _tb_kernel, w=w, step_y=step_y, step_x=step_x, n_rows=nb, n_cols=n_cols,
-        band_h=band_h, pair_stride=pair_stride,
+        _tb_kernel, w=w, step_y=step_y, step_x=step_x, n_rows=nb_pad, n_cols=n_cols,
+        band_h=band_h, bband=bband, pair_stride=pair_stride,
     )
-    out_shape = [jax.ShapeDtypeStruct((n_pairs, nb, n_cols), jnp.float32) for _ in range(4)]
-    out_spec = pl.BlockSpec((1, nb, n_cols), lambda p_: (p_, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((n_pairs, nb_pad, n_cols), jnp.float32) for _ in range(4)]
+    out_spec = pl.BlockSpec((1, nb_pad, n_cols), lambda p_: (p_, 0, 0), memory_space=pltpu.VMEM)
     vspec = lambda *dims: pl.BlockSpec(dims, lambda p_: (0,) * len(dims), memory_space=pltpu.VMEM)
     u, v, cmax, s2n = pl.pallas_call(
         kernel,
@@ -745,7 +834,7 @@ def _piv_pairs_tb_jit(imgs, sas, steps, band0, nb, n_cols, interpret, pair_strid
             vspec(3, pwh, pxw),
             vspec(pxw, px),
             vspec(pwh, py),
-            vspec(n_t, py, n_cols),
+            vspec(5 * bband * n_t, py, n_cols),
             vspec(px, n_cols),
         ],
         out_specs=[out_spec] * 4,
@@ -753,15 +842,17 @@ def _piv_pairs_tb_jit(imgs, sas, steps, band0, nb, n_cols, interpret, pair_strid
         scratch_shapes=[
             pltpu.VMEM((2, band_h, w_img), jnp.float32),
             pltpu.VMEM((2, band_h, w_img), jnp.float32),
-            pltpu.VMEM((2 * n_t, pwh, pxw), jnp.float32),
+            pltpu.VMEM((2 * bband * n_t, pwh, pxw), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(
         b0_arr, frames, jnp.asarray(pmx), jnp.asarray(pmy), jnp.asarray(dc_mask),
-        jnp.asarray(cst), jnp.asarray(b1x), jnp.asarray(b1y), jnp.asarray(qt), jnp.asarray(qs),
+        jnp.asarray(cst), jnp.asarray(b1x), jnp.asarray(b1y), jnp.asarray(qt5), jnp.asarray(qs),
     )
+    if nb_pad != nb:
+        u, v, cmax, s2n = (x[:, :nb] for x in (u, v, cmax, s2n))
     return u, v, cmax, s2n
 
 
@@ -811,17 +902,22 @@ def piv_pairs_fused(
     nb_max = max(int(((12 << 20) + (512 << 10) - band_scratch - reserve) // per_band), 4)
     imgs = jnp.asarray(imgs)
     last_err = None
+    bband = _tb_bband(wx, n_cols) if _tileband_ok(wy, wx, step_x, pack) else 1
     while nb_max >= 4:
         try:
             return _piv_pairs_fused_strips(
                 imgs, (wy, wx), (step_y, step_x), n_rows, n_cols, nb_max, bool(interpret),
-                int(pair_stride),
+                int(pair_stride), bband,
             )
         except Exception as e:
             last_err = e
             msg = str(e)
             # the compiler's scoped-vmem accounting beats any host-side model;
-            # on overflow retry with half the bands per launch
+            # on overflow retry with fewer batched bands, then fewer bands
+            # per launch
+            if "vmem" in msg.lower() and bband > 1:
+                bband //= 2
+                continue
             if "vmem" in msg.lower() and nb_max > 4:
                 nb_max = max(nb_max // 2, 4)
                 continue
@@ -890,7 +986,9 @@ def _tileband_ok(wy: int, wx: int, step_x: int, pack: int) -> bool:
     return wy == wx and 2 * step_x == wx and 8 <= wx < 32
 
 
-def _piv_pairs_fused_strips(imgs, sas, steps, n_rows, n_cols, nb_max, interpret, pair_stride=1):
+def _piv_pairs_fused_strips(
+    imgs, sas, steps, n_rows, n_cols, nb_max, interpret, pair_stride=1, bband=None
+):
     # pad ONCE, globally: the band DMA needs the lane (width) extent to be a
     # multiple of the 128-lane tiling, the last band's buffer may read past
     # the frame bottom, and the tileband build slices p windows at once (up
@@ -899,8 +997,16 @@ def _piv_pairs_fused_strips(imgs, sas, steps, n_rows, n_cols, nb_max, interpret,
     step_y, step_x = steps
     pack, band_h = _fused_plan(wy, wx, step_y)
     tileband = _tileband_ok(wy, wx, step_x, pack)
-    jit_fn = _piv_pairs_tb_jit if tileband else _piv_pairs_fused_jit
-    rows_needed = (n_rows - 1) * step_y + band_h
+    if tileband:
+        if bband is None:
+            bband = _tb_bband(wx, n_cols)
+        jit_fn = functools.partial(_piv_pairs_tb_jit, bband=bband)
+    else:
+        bband = 1
+        jit_fn = _piv_pairs_fused_jit
+    # + (bband - 1) slack: each strip's band count pads up to a bband multiple
+    # and the padded bands still DMA real rows
+    rows_needed = (n_rows - 1 + (bband - 1)) * step_y + band_h
     w_needed = step_x * (n_cols - 1) + _tb_shape(wx)[1] * wx if tileband else imgs.shape[-1]
     pad_w = max(w_needed - imgs.shape[-1], 0) + (-max(w_needed, imgs.shape[-1])) % 128
     pad_h = max(rows_needed - imgs.shape[-2], 0)

@@ -244,6 +244,9 @@ def test_two_process_multihost_segments(tmp_path, rng):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # the worker script's sys.path starts at tests/, not the repo root
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     procs = [
         subprocess.Popen(

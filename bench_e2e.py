@@ -119,11 +119,15 @@ def main():
     video = pyorc_tpu.Video(clip, camera_config=cc, start_frame=0, end_frame=n_frames - 1, h_a=0.0)
     stages["video_open"] = time.perf_counter() - t0
 
-    # decode-only throughput on a probe slice (for the overlap accounting)
+    # decode-only throughput on a probe slice (for the overlap accounting).
+    # The probe's wall time is reported separately and NOT counted in the
+    # pipeline total: it is measurement overhead (the lazy chain re-decodes
+    # these frames as part of its own timed stage).
     t0 = time.perf_counter()
     probe_n = min(64, n_frames)
     _ = np.asarray(video.get_frames().data[:probe_n])
-    decode_fps = probe_n / (time.perf_counter() - t0)
+    probe_s = time.perf_counter() - t0
+    decode_fps = probe_n / probe_s
 
     t0 = time.perf_counter()
     da = video.get_frames()
@@ -174,6 +178,7 @@ def main():
                 "vs_baseline": round(5.0 / total, 4),  # BASELINE: <5 s on v5e-8
                 "stages_s": {k: round(v, 2) for k, v in stages.items()},
                 "decode_fps": round(decode_fps, 1),
+                "probe_decode_s_excluded": round(probe_s, 2),
                 "pairs_per_sec_e2e": round(pairs_per_sec, 1),
                 "river_flow_m3s_median": round(q_med, 3),
                 "clip_render_s": round(t_render, 1),

@@ -68,6 +68,37 @@ def _bench_config(window: int, h: int = 1088, w: int = 1920, n_frames: int = 65)
     return pairs_per_sec, tflops
 
 
+def _parity_config(window: int, h: int = 1088, w: int = 1920):
+    """On-chip fused-vs-XLA displacement agreement (q95/max |du| in px) on
+    particle imagery with a known sub-pixel shift. The XLA reference runs the
+    strip-chunked pipeline (the monolithic form compile-OOMs at 16 px)."""
+    import jax.numpy as jnp
+    from scipy.ndimage import gaussian_filter
+
+    from pyorc_tpu.ops import piv, piv_pallas, windows
+
+    rng = np.random.default_rng(7)
+    img = np.zeros((h, w), np.float32)
+    n_p = h * w // 40
+    ys = rng.integers(0, h, n_p)
+    xs = rng.integers(0, w, n_p)
+    img[ys, xs] = rng.uniform(100, 255, n_p)
+    img = gaussian_filter(img, 1.5, mode="wrap")
+    fy = np.fft.fftfreq(h)[:, None]
+    fx = np.fft.fftfreq(w)[None, :]
+    shifted = np.real(np.fft.ifft2(np.fft.fft2(img) * np.exp(-2j * np.pi * (fy * -1.2 + fx * 2.4))))
+    imgs = jnp.asarray(np.stack([img, shifted]).astype(np.float32))
+
+    sas = (window, window)
+    overlap = (window // 2, window // 2)
+    n_rows, n_cols = windows.get_field_shape((h, w), sas, overlap)
+    u_f, v_f, *_ = piv_pallas.piv_pairs_fused(imgs, (h, w), sas, overlap, n_rows, n_cols)
+    u_x, v_x, *_ = piv.piv_pairs_strips(imgs, (h, w), sas, overlap, n_rows, n_cols)
+    d = np.hypot(np.asarray(u_f) - np.asarray(u_x), np.asarray(v_f) - np.asarray(v_x))
+    d = d[~np.isnan(d)]
+    return float(np.quantile(d, 0.95)), float(d.max())
+
+
 def _bench_chain_4k(window: int = 64, n_frames: int = 33):
     """Measured 4K normalize+orthorectify+ensemble-PIV chain, pairs/s on-chip.
 
@@ -138,6 +169,12 @@ def main():
             f"{win}px_1080p": {"pairs_per_sec": round(p, 1), "fp32_tflops": round(t, 2)}
             for win in (16, 26, 32)
             for p, t in [_bench_config(win, h, w)]
+        }
+        # on-chip fused-vs-XLA displacement parity (recorded artifact)
+        out["parity_px"] = {
+            f"{win}px": {"q95": round(q, 4), "max": round(m, 4)}
+            for win in (16, 26, 32)
+            for q, m in [_parity_config(win, h, w)]
         }
     if "--chain" in sys.argv or "--full" in sys.argv:
         out["chain_4k_pairs_per_sec"] = round(_bench_chain_4k(), 1)

@@ -81,7 +81,8 @@ def calibrate_camera(
         if ret:
             corners2 = cv2.cornerSubPix(gray, corners, (11, 11), (-1, -1), criteria)
             obj_pts.append(objp.copy())
-            img_pts.append(corners2[:, 0])
+            # OpenCV returns (N, 1, 2) or (N, 2) depending on build; normalize
+            img_pts.append(np.asarray(corners2, dtype=np.float64).reshape(-1, 2))
             if len(obj_pts) == max_imgs:
                 break
     cap.release()

@@ -219,3 +219,22 @@ def test_zhang_calibration(rng):
     assert np.allclose(Kc[0, 0], K_cv[0, 0], atol=2.0)
     assert np.allclose(dist.ravel()[:2], d_cv.ravel()[:2], atol=0.01)
     assert rms <= ret_cv * 1.2
+
+
+def test_calibrate_camera_from_video():
+    """The chessboard-video wrapper end-to-end on the real calibration clip
+    (regression: some cv2 builds return detected corners as (N, 2) instead of
+    (N, 1, 2); the point lists must normalize before reaching the solver)."""
+    from pyorc_tpu.io.calibration import calibrate_camera
+
+    K, dist = calibrate_camera(
+        "/root/reference/examples/camera_calib/camera_calib_720p.mkv",
+        chessboard_size=(9, 6),
+        max_imgs=6,
+        progress_bar=False,
+    )
+    K = np.asarray(K)
+    # 720p action-cam optics: focal ~900 px, principal point near centre
+    assert 700 < K[0, 0] < 1200
+    assert abs(K[0, 2] - 640) < 100 and abs(K[1, 2] - 360) < 100
+    assert np.all(np.abs(np.asarray(dist).ravel()) < 1.0)

@@ -194,3 +194,36 @@ def test_project_numpy_matches_accessor(frames, vid):
     assert np.array_equal(
         np.asarray(proj_fn.values, dtype=float), np.asarray(proj_acc.values, dtype=float)
     )
+
+
+def test_ortho_separable_fast_path(rng):
+    """Axis-aligned (separable) maps route through the two-slice/two-gather
+    fast path and match the generic element-gather bit for bit."""
+    import numpy as np
+
+    from pyorc_tpu.ops import ortho as ortho_ops
+
+    H, W, ny, nx = 64, 96, 40, 72
+    row_idx = (np.arange(ny) + 11).astype(np.int32)          # arithmetic, step 1
+    col_idx = (np.arange(nx) * 1 + 9).astype(np.int32)
+    full_idx = (row_idx[:, None].astype(np.int64) * W + col_idx[None, :]).ravel().astype(np.int32)
+    maps = ortho_ops.OrthoMaps(
+        full_idx=full_idx, src_idx=None, norm_idx=None, counts=None,
+        shape_in=(H, W), shape_out=(ny, nx), row_idx=row_idx, col_idx=col_idx,
+    )
+    frames = rng.integers(0, 255, (3, H, W)).astype(np.uint8)
+    fast = np.asarray(ortho_ops.project_batch(frames, maps))
+    generic = np.asarray(
+        ortho_ops.project_batch(frames, maps._replace(row_idx=None, col_idx=None))
+    )
+    assert np.array_equal(fast, generic)
+
+    # non-arithmetic indices (irregular subsample) take the two-gather form
+    row_irr = np.sort(rng.choice(H, ny, replace=False)).astype(np.int32)
+    full_irr = (row_irr[:, None].astype(np.int64) * W + col_idx[None, :]).ravel().astype(np.int32)
+    maps_irr = maps._replace(full_idx=full_irr, row_idx=row_irr)
+    fast2 = np.asarray(ortho_ops.project_batch(frames, maps_irr))
+    gen2 = np.asarray(ortho_ops.project_batch(frames, maps_irr._replace(row_idx=None, col_idx=None)))
+    assert np.array_equal(fast2, gen2)
+    assert ortho_ops._arith_spec(row_irr) is None
+    assert ortho_ops._arith_spec(np.array([4, 6, 8], np.int32)) == (4, 9, 2)

@@ -266,10 +266,7 @@ def velocimetry(
     from .. import service
 
     log_level = max(10, 20 - 10 * verbose)
-    logger = log.setuplog(
-        "velocimetry", os.path.join(output, "pyorc_tpu.log"), append=False, log_level=log_level
-    )
-    logger.info(f"Preparing your velocimetry result in {output}")
+    user_prefix = prefix
     if num_hosts > 1:
         # outer (DCN) parallelism: this host runs the standard pipeline on
         # its own frame segment; jax.distributed coordinates only
@@ -285,7 +282,14 @@ def velocimetry(
         recipe.setdefault("video", {})
         recipe["video"]["start_frame"] = int(start)
         recipe["video"]["end_frame"] = int(end) - 1
-        prefix = f"{prefix}host{pid:03d}_"
+        prefix = f"{user_prefix}host{pid:03d}_"
+    # hosts share the output dir, so the log file carries the host prefix too
+    logger = log.setuplog(
+        "velocimetry", os.path.join(output, f"{prefix if num_hosts > 1 else ''}pyorc_tpu.log"),
+        append=False, log_level=log_level,
+    )
+    logger.info(f"Preparing your velocimetry result in {output}")
+    if num_hosts > 1:
         logger.info(f"Host {pid}/{nproc}: frames [{start}, {end}) -> prefix {prefix}")
     service.velocity_flow(
         recipe=recipe,
@@ -307,19 +311,14 @@ def velocimetry(
         import jax
 
         if jax.process_index() == 0:
-            import json as _json
-
             segs = dist.segment_frame_ranges(n_frames, num_hosts)
-            manifest = {
-                "num_processes": num_hosts,
-                "n_frames": n_frames,
-                "segments": {
-                    str(i): {"start_frame": s, "end_frame": e, "prefix": f"host{i:03d}_"}
-                    for i, (s, e) in enumerate(segs)
+            dist.write_segments_manifest(
+                output, n_frames, segs,
+                lambda i, s, e: {
+                    "prefix": f"{user_prefix}host{i:03d}_",
+                    "artifact": f"{user_prefix}host{i:03d}_piv.nc",
                 },
-            }
-            with open(os.path.join(output, "manifest.json"), "w") as f:
-                _json.dump(manifest, f, indent=2)
+            )
             logger.info("Multi-host manifest written to manifest.json")
 
 

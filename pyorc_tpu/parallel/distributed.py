@@ -165,14 +165,23 @@ def process_segments_multihost(
     run_segment(start, end, out)
     barrier("segments-done")
     if pid == 0:
-        manifest = {
-            "num_processes": nproc,
-            "n_frames": n_frames,
-            "segments": {
-                str(i): {"start_frame": s, "end_frame": e,
-                         "artifact": f"segment_{i:03d}_piv.nc"}
-                for i, (s, e) in enumerate(segs)
-            },
-        }
-        (outdir / "manifest.json").write_text(json.dumps(manifest, indent=2))
+        write_segments_manifest(
+            outdir, n_frames, segs, lambda i, s, e: {"artifact": f"segment_{i:03d}_piv.nc"}
+        )
     return out
+
+
+def write_segments_manifest(output_dir, n_frames: int, segs, entry) -> None:
+    """Write the stitch manifest: per-segment frame range + ``entry(i, s, e)``
+    payload (artifact path, per-host prefix, ...). ONE schema for every
+    multi-host writer — the CLI and :func:`process_segments_multihost` share
+    this, so consumers never see divergent manifests."""
+    manifest = {
+        "num_processes": len(segs),
+        "n_frames": n_frames,
+        "segments": {
+            str(i): {"start_frame": int(s), "end_frame": int(e), **entry(i, s, e)}
+            for i, (s, e) in enumerate(segs)
+        },
+    }
+    (Path(output_dir) / "manifest.json").write_text(json.dumps(manifest, indent=2))

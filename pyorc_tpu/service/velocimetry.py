@@ -608,5 +608,5 @@ def velocity_flow_subprocess(
         argv.append("-u")
     if prefix:
         argv += ["-p", prefix]
-    argv += ["-u", "-vvv", output]
+    argv += ["-vvv", output]
     return subprocess.run(argv, cwd=os.path.dirname(output) or ".", capture_output=True, text=True)

@@ -87,13 +87,15 @@ def _plan_mesh2d(n_pairs: int, n_rows: int, n_dev: int):
     import os
 
     forced = os.environ.get("PYORC_TPU_MESH2D")
-    if forced == "0":
-        return None
     if forced:
-        dr = int(forced)
-        if n_dev % dr == 0 and dr > 1:
-            return (n_dev // dr, dr)
-        return None
+        try:
+            dr = int(forced)
+        except ValueError:
+            dr = None  # non-integer values keep auto behavior
+        if dr is not None:
+            if dr > 1 and n_dev % dr == 0:
+                return (n_dev // dr, dr)
+            return None
     if n_pairs >= n_dev:
         return None
     # largest divisor of n_dev that the pair count can still fill
@@ -273,10 +275,13 @@ def _piv_timestep(
         if use_sharded:
             from .. import parallel
 
+            # PYORC_TPU_ENGINE must bind on sharded paths too (the sharded
+            # wrappers resolve 'auto' per shard; an explicit mode overrides)
+            shard_engine = mode or "auto"
             if passes > 1:
                 return parallel.piv_multipass_sharded(
                     _as_host(frames_np), sas, ov, sas, passes=passes,
-                    signal_threshold=signal_threshold,
+                    signal_threshold=signal_threshold, engine=shard_engine,
                 )
             host = _as_host(frames_np)
             plan = _plan_mesh2d(host.shape[0] - 1, n_rows, jax.device_count())
@@ -287,12 +292,13 @@ def _piv_timestep(
                 mesh2d = Mesh(np.asarray(jax.devices()).reshape(dp, dr), ("pairs", "rows"))
                 try:
                     return parallel.piv_pairs_sharded_2d(
-                        host, sas, ov, sas, mesh=mesh2d, signal_threshold=signal_threshold
+                        host, sas, ov, sas, mesh=mesh2d, signal_threshold=signal_threshold,
+                        engine=shard_engine,
                     )
                 except ValueError:
                     pass  # non-uniform window grid: fall through to the 1-D mesh
             return parallel.piv_pairs_sharded(
-                host, sas, ov, sas, signal_threshold=signal_threshold
+                host, sas, ov, sas, signal_threshold=signal_threshold, engine=shard_engine
             )
         dev = _as_device(frames_np)
         if passes > 1:

@@ -283,3 +283,17 @@ def test_two_process_multihost_segments(tmp_path, rng):
     )
     assert u_stitched.shape == u_single.shape
     assert np.allclose(u_stitched, u_single, atol=1e-5, equal_nan=True)
+
+
+def test_plan_mesh2d_env_override(monkeypatch):
+    """PYORC_TPU_MESH2D: integers force/disable the 2-D mesh; junk values
+    must fall back to the auto rules instead of crashing the PIV run."""
+    from pyorc_tpu.velocimetry.engine import _plan_mesh2d
+
+    monkeypatch.setenv("PYORC_TPU_MESH2D", "auto")  # non-integer -> auto
+    assert _plan_mesh2d(64, 30, 8) is None
+    assert _plan_mesh2d(1, 30, 8) == (1, 8)
+    monkeypatch.setenv("PYORC_TPU_MESH2D", "4")
+    assert _plan_mesh2d(64, 30, 8) == (2, 4)
+    monkeypatch.setenv("PYORC_TPU_MESH2D", "0")
+    assert _plan_mesh2d(1, 30, 8) is None

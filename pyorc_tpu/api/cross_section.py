@@ -708,9 +708,11 @@ class CrossSection:
         img = img.astype(np.uint8) if img.dtype != np.uint8 else img
         if method == "grid":
             # 5 mm step, capped at ~500 candidates (crop batches scale with
-            # the candidate count; the reference DE's atol was 0.01 anyway)
-            step = max(5e-3, (l_max - l_min) / 500.0)
-            l_cand = np.arange(l_min, l_max + step, step)
+            # the candidate count; the reference DE's atol was 0.01 anyway);
+            # linspace keeps every candidate inside [l_min, l_max] — an
+            # arange endpoint can overshoot l_max and fail polygon lookup
+            n_cand = int(np.clip(round((l_max - l_min) / 5e-3) + 1, 2, 501))
+            l_cand = np.linspace(l_min, l_max, n_cand)
             scores = self._scores_batched(
                 img, l_cand, bin_size=bin_size, offset=offset, padding=padding,
                 length=length, min_z=min_z, max_z=max_z,

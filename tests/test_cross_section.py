@@ -213,18 +213,18 @@ def test_line_of_interest(cs):
         cs.get_line_of_interest(bank="bogus")
 
 
-def test_water_level_detection_synthetic(cs, camera_config):
-    """Render a synthetic image with distinct water/land intensity distributions
-    at a known level and recover the level optically."""
-    rng = np.random.default_rng(3)
-    h_true = 92.8
-    img = np.zeros((1080, 1920), dtype=np.uint8)
-    # land texture: bright with high variance
-    img[:] = rng.normal(170, 30, size=img.shape).clip(0, 255)
-    # paint the wet polygon (camera projection) dark and smooth
-    wet = cs.get_bbox_dry_wet(h=h_true, camera=True)
+H_TRUE_SYNTH = 92.8
+
+
+@pytest.fixture(scope="module")
+def synth_img(cs):
+    """Synthetic scene: bright noisy land, dark smooth water at H_TRUE_SYNTH."""
     import cv2
 
+    rng = np.random.default_rng(3)
+    img = np.zeros((1080, 1920), dtype=np.uint8)
+    img[:] = rng.normal(170, 30, size=img.shape).clip(0, 255)
+    wet = cs.get_bbox_dry_wet(h=H_TRUE_SYNTH, camera=True)
     for pol in wet.geoms:
         ring = np.asarray(pol.exterior.coords)[:, :2]
         ring = ring[np.isfinite(ring).all(axis=1)]
@@ -233,9 +233,47 @@ def test_water_level_detection_synthetic(cs, camera_config):
             cv2.fillPoly(mask, [np.round(ring).astype(np.int32)], 1)
             noise = rng.normal(60, 8, size=img.shape).clip(0, 255)
             img = np.where(mask == 1, noise.astype(np.uint8), img)
-    h_det, s2n = cs.detect_water_level_s2n(img, bank="far", length=2.0, padding=0.5)
+    return img
+
+
+def test_water_level_detection_synthetic(cs, synth_img):
+    """Recover a known level optically from distinct water/land distributions."""
+    h_det, s2n = cs.detect_water_level_s2n(synth_img, bank="far", length=2.0, padding=0.5)
     assert s2n > 1.2
-    assert abs(h_det - h_true) < 0.25, f"detected {h_det} vs true {h_true}"
+    assert abs(h_det - H_TRUE_SYNTH) < 0.25, f"detected {h_det} vs true {H_TRUE_SYNTH}"
+
+
+def test_detect_water_level_min_h(cs, synth_img):
+    """A min_h bound above the optimum clamps the search (reference
+    tests/test_cross_section.py:412-418)."""
+    import warnings
+
+    min_h = H_TRUE_SYNTH + 0.5
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)  # optimum may sit at the bound
+        h = cs.detect_water_level(synth_img, bank="far", length=2.0, min_h=min_h)
+    assert isinstance(h, float)
+    assert h >= min_h - 1e-6
+
+
+def test_detect_water_level_banks(cs, synth_img):
+    """Detection runs on the near bank and on both banks (reference
+    tests/test_cross_section.py:420-430)."""
+    import warnings
+
+    for bank in ("near", "both"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", UserWarning)  # edge-of-range is data-dependent
+            h = cs.detect_water_level(synth_img, bank=bank, length=2.0)
+        z = cs.camera_config.h_to_z(h)
+        assert cs.z.min() - 1 < z < cs.z.max() + 1
+
+
+def test_get_csl_line_above_first_bank(cs):
+    """A level above one bank yields a single waterline (reference
+    tests/test_cross_section.py:319-324)."""
+    lines = cs.get_csl_line(h=94.9)
+    assert len(lines) == 1
 
 
 def test_detect_water_level_de(cs):

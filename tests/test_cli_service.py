@@ -264,3 +264,39 @@ def test_subprocess_runner_builds_files(recipe_dict, tmp_path, monkeypatch):
     assert result is not None
     if result.returncode == 0:
         assert os.path.isfile(os.path.join(out, "piv.nc"))
+
+
+def test_stage_ledger_edge_cases(tmp_path):
+    """StageLedger staleness contract, mirroring the reference's hash-cache
+    tests (reference tests/test_cli.py:293-430): missing artifact, missing
+    digest, content change, recipe-slice change, and the current case."""
+    import logging
+
+    from pyorc_tpu.service.velocimetry import StageLedger
+
+    ledger = StageLedger(str(tmp_path), "pfx_", logging)
+    recipe = {"video": {"start_frame": 0}, "frames": {"normalize": {}}}
+    art = tmp_path / "piv.nc"
+    art.write_bytes(b"payload-one")
+    keys, files = ("video", "frames"), (str(art),)
+
+    # nothing committed yet -> stale
+    assert not ledger.is_current("frames", recipe, keys, files)
+    ledger.commit("frames", recipe, keys, files)
+    assert ledger.is_current("frames", recipe, keys, files)
+
+    # tracked file content changed -> stale; recommit restores currency
+    art.write_bytes(b"payload-two")
+    assert not ledger.is_current("frames", recipe, keys, files)
+    ledger.commit("frames", recipe, keys, files)
+    assert ledger.is_current("frames", recipe, keys, files)
+
+    # recipe slice changed -> stale; unrelated sections don't matter
+    changed = {"video": {"start_frame": 5}, "frames": {"normalize": {}}}
+    assert not ledger.is_current("frames", changed, keys, files)
+    unrelated = dict(recipe, mask=[{"corr": {}}])
+    assert ledger.is_current("frames", unrelated, keys, files)
+
+    # tracked file deleted -> stale
+    art.unlink()
+    assert not ledger.is_current("frames", recipe, keys, files)

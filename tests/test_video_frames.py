@@ -227,3 +227,24 @@ def test_ortho_separable_fast_path(rng):
     assert np.array_equal(fast2, gen2)
     assert ortho_ops._arith_spec(row_irr) is None
     assert ortho_ops._arith_spec(np.array([4, 6, 8], np.int32)) == (4, 9, 2)
+
+
+def test_to_geotiff_roundtrip(frames, tmp_path):
+    """Projected frames export to GeoTIFF (single + batch) with correct
+    georeferencing tags; unprojected frames refuse (reference
+    tests/test_frames.py:169-209)."""
+    f_proj = frames.frames.project()
+    fn = str(tmp_path / "frame.tif")
+    f_proj.frames.to_geotiff(fn, frame=0)
+    raw = open(fn, "rb").read()
+    assert raw[:2] in (b"II", b"MM") and len(raw) > 1000
+    # ModelTiepoint/ModelPixelScale GeoTIFF tags present
+    assert raw.find((33922).to_bytes(2, "little")) > 0
+    assert raw.find((33550).to_bytes(2, "little")) > 0
+
+    fns = f_proj.frames.to_geotiffs(str(tmp_path / "seq"), end_frame=4, stride=2, progress_bar=False)
+    assert len(fns) == 2
+    assert all(open(f, "rb").read()[:2] in (b"II", b"MM") for f in fns)
+
+    with pytest.raises(AssertionError, match="projected"):
+        frames.frames.to_geotiff(str(tmp_path / "nope.tif"))

@@ -37,12 +37,15 @@ def make_mesh(devices=None, axis: str = "pairs") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def pad_pairs_for_devices(imgs: np.ndarray, n_dev: int) -> Tuple[np.ndarray, int]:
+def pad_pairs_for_devices(imgs: np.ndarray, n_dev: int, zero_pad: bool = False) -> Tuple[np.ndarray, int]:
     """Stack frames into per-device overlapping slices [D, P+1, H, W].
 
-    Pads by repeating the last frame so every device gets the same static
-    shape; padded pairs produce zero displacement and are dropped by the
-    caller using the returned true pair count.
+    Pads so every device gets the same static shape; padded pairs are
+    dropped by the caller using the returned true pair count. ``zero_pad``
+    pads with ZERO frames instead of repeating the last one — zero frames
+    correlate to an all-zero plane, so in-kernel accumulators (which cannot
+    be sliced after the fact) exclude the padding via their corr/s2n gates
+    rather than counting spurious perfect self-correlations.
     """
     t = imgs.shape[0]
     n_pairs = t - 1
@@ -50,7 +53,8 @@ def pad_pairs_for_devices(imgs: np.ndarray, n_dev: int) -> Tuple[np.ndarray, int
     total = per_dev * n_dev
     pad = total - n_pairs
     if pad > 0:
-        imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)], axis=0)
+        tail = np.zeros_like(imgs[-1:]) if zero_pad else imgs[-1:]
+        imgs = np.concatenate([imgs, np.repeat(tail, pad, axis=0)], axis=0)
     slices = [imgs[d * per_dev : d * per_dev + per_dev + 1] for d in range(n_dev)]
     return np.stack(slices), n_pairs
 
@@ -127,14 +131,29 @@ def piv_ensemble_sharded(
     s2n_min: float = 3.0,
     signal_threshold: Optional[float] = None,
     corr_method: str = "auto",
+    engine: str = "auto",
 ):
     """Ensemble PIV sharded over frame pairs with psum-reduced accumulators.
+
+    ``engine``: 'auto' runs the fused VMEM-resident ensemble kernel per shard
+    on TPU backends (BASELINE config 3 must not silently downgrade to the
+    XLA scan on a mesh) and the XLA scan elsewhere; 'xla' / 'fused' /
+    'fused-interpret' force a path.
 
     Returns (corr_sum [n_windows, wy, wx], corr_count [n_windows],
     corr_max [n_pairs, n_rows, n_cols], s2n [n_pairs, n_rows, n_cols]).
     """
+    import jax as _jax
+
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
+    if engine == "auto":
+        engine = "fused" if _jax.default_backend() not in ("cpu",) else "xla"
+    if engine.startswith("fused"):
+        return _piv_ensemble_sharded_fused(
+            imgs, window_size, overlap, search_area_size, mesh, corr_min, s2n_min,
+            signal_threshold, interpret=(engine == "fused-interpret"),
+        )
     sas = tuple(win._as2(window_size if search_area_size is None else search_area_size))
     ov = tuple(win._as2(overlap))
     dim_size = imgs.shape[-2:]
@@ -196,6 +215,57 @@ def piv_ensemble_sharded(
     corr_max = np.asarray(corr_max).reshape(-1, n_rows, n_cols)[:n_pairs]
     s2n = np.asarray(s2n).reshape(-1, n_rows, n_cols)[:n_pairs]
     return np.asarray(corr_sum), np.asarray(corr_count), corr_max, s2n
+
+
+def _piv_ensemble_sharded_fused(
+    imgs, window_size, overlap, search_area_size, mesh, corr_min, s2n_min,
+    signal_threshold, interpret,
+):
+    """Fused ensemble kernel per shard + one psum over the accumulators.
+
+    Padding frames are ZEROS: their correlation planes are identically zero,
+    so the kernel's corr_min/s2n_min gates exclude them from the in-VMEM
+    accumulators. With non-positive gates (both thresholds <= 0 and no
+    signal_threshold) zero pairs do pass — their corr contribution is still
+    exactly zero, but the count needs a host-side correction.
+    """
+    import jax as _jax
+
+    from ..ops import piv_pallas
+
+    n_dev = mesh.devices.size
+    sas = tuple(win._as2(window_size if search_area_size is None else search_area_size))
+    ov = tuple(win._as2(overlap))
+    dim_size = imgs.shape[-2:]
+    n_rows, n_cols = win.get_field_shape(dim_size, sas, ov)
+    stacked, n_pairs = pad_pairs_for_devices(np.asarray(imgs), n_dev, zero_pad=True)
+    n_pad = stacked.shape[0] * (stacked.shape[1] - 1) - n_pairs
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P("pairs"),
+        out_specs=(P(), P(), P("pairs"), P("pairs")),
+        # pallas_call outputs carry no varying-mesh-axes annotation
+        check_vma=False,
+    )
+    def run(frames_dev):
+        cs, cc, cmax, s2n = piv_pallas.piv_ensemble_fused(
+            frames_dev[0], dim_size, sas, ov, n_rows, n_cols,
+            corr_min, s2n_min, signal_threshold, interpret=interpret,
+        )
+        cs = jax.lax.psum(cs, "pairs")
+        cc = jax.lax.psum(cc, "pairs")
+        return cs, cc, cmax[None], s2n[None]
+
+    sharding = NamedSharding(mesh, P("pairs"))
+    cs, cc, cmax, s2n = jax.jit(run)(jax.device_put(stacked, sharding))
+    cmax = np.asarray(cmax).reshape(-1, n_rows, n_cols)[:n_pairs]
+    s2n = np.asarray(s2n).reshape(-1, n_rows, n_cols)[:n_pairs]
+    cc = np.asarray(cc, dtype=np.float64)
+    if n_pad and corr_min <= 0 and s2n_min <= 0 and not (signal_threshold and signal_threshold > 0):
+        cc = np.maximum(cc - n_pad, 0.0)  # zero pairs passed the open gates
+    return np.asarray(cs), cc, cmax, s2n
 
 
 def piv_multipass_sharded(

@@ -360,6 +360,7 @@ def _piv_ensemble(
             cs, cc, cmax, s2n = parallel.piv_ensemble_sharded(
                 _as_host(chunk), sas, ov, sas,
                 corr_min=corr_min, s2n_min=s2n_min, signal_threshold=signal_threshold,
+                engine=mode or "auto",
             )
         elif use_fused:
             from ..ops import piv_pallas

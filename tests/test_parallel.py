@@ -324,3 +324,28 @@ def test_plan_mesh2d_env_override(monkeypatch):
     assert _plan_mesh2d(64, 30, 8) == (2, 4)
     monkeypatch.setenv("PYORC_TPU_MESH2D", "0")
     assert _plan_mesh2d(1, 30, 8) is None
+
+
+def test_write_segments_manifest_schema(tmp_path):
+    """One manifest schema for every multi-host writer: frame ranges are
+    ints, per-segment payload comes from the entry callback (the CLI records
+    prefix+artifact, the segment runner records artifact)."""
+    import json
+
+    from pyorc_tpu.parallel.distributed import segment_frame_ranges, write_segments_manifest
+
+    segs = segment_frame_ranges(10, 2)
+    write_segments_manifest(
+        tmp_path, 10, segs,
+        lambda i, s, e: {"prefix": f"run1_host{i:03d}_", "artifact": f"run1_host{i:03d}_piv.nc"},
+    )
+    m = json.loads((tmp_path / "manifest.json").read_text())
+    assert m["num_processes"] == 2 and m["n_frames"] == 10
+    for i in range(2):
+        seg = m["segments"][str(i)]
+        assert isinstance(seg["start_frame"], int) and isinstance(seg["end_frame"], int)
+        assert seg["artifact"] == f"run1_host{i:03d}_piv.nc"
+        assert seg["prefix"].startswith("run1_")
+    # segments tile [0, 10) with a 1-frame halo so every pair is owned once
+    assert m["segments"]["0"]["start_frame"] == 0
+    assert m["segments"]["1"]["end_frame"] == 10

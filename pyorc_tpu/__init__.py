@@ -32,6 +32,7 @@ __all__ = [
     "service",
     "cli",
     "sample_data",
+    "plot_helpers",
     "__version__",
 ]
 
@@ -66,7 +67,7 @@ def __getattr__(name):
         from . import project
 
         return getattr(project, name)
-    if name in ("service", "sample_data", "cli", "project"):
+    if name in ("service", "sample_data", "cli", "project", "plot_helpers"):
         import importlib
         import sys
 

@@ -231,3 +231,44 @@ def test_frames_plot_rgb_and_guard(vid_frames_rgb=None):
     ax = frames_plot(one, mode="local")
     assert ax is not None
     plt.close("all")
+
+
+def test_mask_time_dim_requirements(piv_golden):
+    """Time-dependent masks refuse reduced data and warn on single timesteps,
+    returning an all-pass mask (reference tests/test_mask.py:28-31,72-86)."""
+    import pytest as pt
+
+    piv_mean = piv_golden.mean(dim="time", keep_attrs=True)
+    with pt.raises(AssertionError, match='requires dimension "time"'):
+        piv_mean.velocimetry.mask.variance()
+
+    piv_one = piv_golden.isel(time=slice(0, 1))
+    with pt.warns(UserWarning, match="requires multiple timesteps"):
+        mask = piv_one.velocimetry.mask.variance()
+    assert bool(np.asarray(mask.values).all())
+    with pt.warns(UserWarning, match="requires multiple timesteps"):
+        piv_one.velocimetry.mask.count(inplace=True, tolerance=0.3)
+
+
+def test_plot_helpers_module():
+    """Standalone shapely-geometry plot helpers (reference plot_helpers.py)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from pyorc_tpu import plot_helpers
+    from pyorc_tpu.geom import shapes
+
+    sq = shapes.Polygon([(0, 0, 1.0), (1, 0, 1.2), (1, 1, 1.1), (0, 1, 1.3)])
+    multi = shapes.MultiPolygon([sq])
+    line = shapes.LineString([(0, 0, 1.0), (1, 1, 2.0)])
+
+    assert plot_helpers.plot_polygon(sq, alpha=0.4) is not None
+    assert plot_helpers.plot_polygon(multi, label="aoi") is not None
+    fig = plt.figure()
+    ax3 = fig.add_subplot(projection="3d")
+    assert plot_helpers.plot_3d_polygon(multi, ax=ax3, alpha=0.3) is not None
+    assert plot_helpers.plot_3d_line(line, ax=ax3) is not None
+    assert plot_helpers.plot_line(line) is not None
+    plt.close("all")

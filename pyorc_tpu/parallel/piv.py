@@ -136,9 +136,10 @@ def piv_ensemble_sharded(
     """Ensemble PIV sharded over frame pairs with psum-reduced accumulators.
 
     ``engine``: 'auto' runs the fused VMEM-resident ensemble kernel per shard
-    on TPU backends (BASELINE config 3 must not silently downgrade to the
-    XLA scan on a mesh) and the XLA scan elsewhere; 'xla' / 'fused' /
-    'fused-interpret' force a path.
+    on TPU backends (BASELINE config 3 must not downgrade to the XLA scan on
+    a mesh) and the XLA scan elsewhere; 'xla' / 'fused' / 'fused-interpret'
+    force a path. A forced ``corr_method`` keeps the XLA scan (the fused
+    kernel is matmul-DFT only); a fused compile failure warns and falls back.
 
     Returns (corr_sum [n_windows, wy, wx], corr_count [n_windows],
     corr_max [n_pairs, n_rows, n_cols], s2n [n_pairs, n_rows, n_cols]).
@@ -148,12 +149,26 @@ def piv_ensemble_sharded(
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     if engine == "auto":
-        engine = "fused" if _jax.default_backend() not in ("cpu",) else "xla"
+        # only TPU lowers the pltpu kernel; GPU/CPU meshes keep the scan
+        engine = "fused" if _jax.default_backend() == "tpu" else "xla"
+    if engine.startswith("fused") and corr_method != "auto":
+        engine = "xla"  # an explicit correlation method binds only on the scan
     if engine.startswith("fused"):
-        return _piv_ensemble_sharded_fused(
-            imgs, window_size, overlap, search_area_size, mesh, corr_min, s2n_min,
-            signal_threshold, interpret=(engine == "fused-interpret"),
-        )
+        try:
+            return _piv_ensemble_sharded_fused(
+                imgs, window_size, overlap, search_area_size, mesh, corr_min, s2n_min,
+                signal_threshold, interpret=(engine == "fused-interpret"),
+            )
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+                raise  # the engine's chunk backoff handles device OOM
+            import warnings
+
+            warnings.warn(
+                f"Fused ensemble mesh path failed to compile ({e}); "
+                "falling back to the XLA scan per shard.",
+                stacklevel=2,
+            )
     sas = tuple(win._as2(window_size if search_area_size is None else search_area_size))
     ov = tuple(win._as2(overlap))
     dim_size = imgs.shape[-2:]
@@ -229,8 +244,6 @@ def _piv_ensemble_sharded_fused(
     signal_threshold) zero pairs do pass — their corr contribution is still
     exactly zero, but the count needs a host-side correction.
     """
-    import jax as _jax
-
     from ..ops import piv_pallas
 
     n_dev = mesh.devices.size

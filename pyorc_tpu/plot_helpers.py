@@ -39,6 +39,10 @@ def plot_3d_polygon(polygon, ax=None, **kwargs):
     for pol in _polys(polygon):
         verts = [[tuple(c[:3]) for c in pol.exterior.coords]]
         p = ax.add_collection3d(Poly3DCollection(verts, **kwargs))
+        # add_collection3d does not grow the data limits; without this a
+        # world-coordinate polygon lands outside the default [0, 1] view
+        xyz = list(zip(*verts[0]))
+        ax.auto_scale_xyz(xyz[0], xyz[1], xyz[2])
         kwargs.pop("label", None)
     return p
 

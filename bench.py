@@ -68,10 +68,66 @@ def _bench_config(window: int, h: int = 1088, w: int = 1920, n_frames: int = 65)
     return pairs_per_sec, tflops
 
 
+def _peak_gap_strips(imgs, dim_size, sas, overlap, n_rows, n_cols):
+    """Top1-minus-top2 correlation gap per window, [n_pairs, n_rows, n_cols].
+
+    Processed in the same row-band strips as ``piv.piv_pairs_strips`` so the
+    16 px configuration stays under the correlation-plane memory budget."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from pyorc_tpu.ops import piv
+    from pyorc_tpu.ops import windows as win
+
+    @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+    def gap_jit(frames, dim_size, sas, overlap, nb):
+        corr = piv._cross_corr_jit(
+            frames, dim_size, sas, overlap, False, None, piv.default_corr_method()
+        )
+        flat = corr.reshape(corr.shape[0], corr.shape[1], -1)
+        top2 = jax.lax.top_k(flat, 2)[0]
+        return (top2[..., 0] - top2[..., 1]).reshape(-1, nb, n_cols)
+
+    imgs = jnp.asarray(imgs)
+    n_pairs = imgs.shape[0] - 1
+    row0, _ = win.get_window_starts(dim_size, sas, overlap)
+    step_y = piv._strided_axis_starts(np.asarray(row0), sas[0])
+    total_bytes = n_pairs * n_rows * n_cols * sas[0] * sas[1] * 4
+    if step_y is None or total_bytes <= piv._STRIP_CORR_BYTES:
+        return np.asarray(gap_jit(imgs, dim_size, sas, overlap, n_rows))
+    rows_per_strip = max(1, piv._STRIP_CORR_BYTES // (n_pairs * n_cols * sas[0] * sas[1] * 4))
+    parts = []
+    for r0 in range(0, n_rows, rows_per_strip):
+        r1 = min(r0 + rows_per_strip, n_rows)
+        nb = r1 - r0
+        top = int(row0[r0])
+        h_band = (nb - 1) * step_y + sas[0]
+        band = imgs[:, top : top + h_band]
+        parts.append(np.asarray(gap_jit(band, (h_band, dim_size[1]), sas, overlap, nb)))
+    return np.concatenate(parts, axis=1)
+
+
+# a window whose top-2 correlation peaks are closer than this is ambiguous:
+# the fused kernel's ~1e-3 correlation error (2-pass bf16-split matmuls over
+# 18 chained stages) can legitimately flip the argmax there. Measured (r4
+# diagnostics): every >0.5 px disagreement at 16 px sat at gap <= 0.0019 on
+# cmax of 0.36-0.81; confident peaks (gap above this) always agree.
+_PEAK_GAP_CONFIDENT = 5e-3
+
+
 def _parity_config(window: int, h: int = 1088, w: int = 1920):
-    """On-chip fused-vs-XLA displacement agreement (q95/max |du| in px) on
-    particle imagery with a known sub-pixel shift. The XLA reference runs the
-    strip-chunked pipeline (the monolithic form compile-OOMs at 16 px)."""
+    """On-chip fused-vs-XLA displacement agreement on particle imagery with a
+    known sub-pixel shift. The XLA reference runs the strip-chunked pipeline
+    (the monolithic form compile-OOMs at 16 px).
+
+    Returns a dict: q95/max |d| in px over all windows, the fraction of
+    windows disagreeing by >0.5 px, and ``cond_max`` — the max |d| over
+    windows whose top-2 peak gap exceeds ``_PEAK_GAP_CONFIDENT`` (i.e. the
+    peak is unambiguous). ``max`` may be large when two near-equal peaks tie
+    (both paths are then valid estimates); ``cond_max`` is the estimator
+    contract and must stay sub-pixel."""
     import jax.numpy as jnp
     from scipy.ndimage import gaussian_filter
 
@@ -95,8 +151,16 @@ def _parity_config(window: int, h: int = 1088, w: int = 1920):
     u_f, v_f, *_ = piv_pallas.piv_pairs_fused(imgs, (h, w), sas, overlap, n_rows, n_cols)
     u_x, v_x, *_ = piv.piv_pairs_strips(imgs, (h, w), sas, overlap, n_rows, n_cols)
     d = np.hypot(np.asarray(u_f) - np.asarray(u_x), np.asarray(v_f) - np.asarray(v_x))
-    d = d[~np.isnan(d)]
-    return float(np.quantile(d, 0.95)), float(d.max())
+    gap = _peak_gap_strips(imgs, (h, w), sas, overlap, n_rows, n_cols)
+    ok = ~np.isnan(d)
+    d_ok = d[ok]
+    confident = ok & (gap > _PEAK_GAP_CONFIDENT)
+    return {
+        "q95": round(float(np.quantile(d_ok, 0.95)), 4),
+        "max": round(float(d_ok.max()), 4),
+        "frac_gt_0.5px": round(float((d_ok > 0.5).mean()), 6),
+        "cond_max": round(float(d[confident].max()), 4),
+    }
 
 
 def _bench_chain_4k(window: int = 64, n_frames: int = 33):
@@ -170,12 +234,10 @@ def main():
             for win in (16, 26, 32)
             for p, t in [_bench_config(win, h, w)]
         }
-        # on-chip fused-vs-XLA displacement parity (recorded artifact)
-        out["parity_px"] = {
-            f"{win}px": {"q95": round(q, 4), "max": round(m, 4)}
-            for win in (16, 26, 32)
-            for q, m in [_parity_config(win, h, w)]
-        }
+        # on-chip fused-vs-XLA displacement parity (recorded artifact):
+        # cond_max (unambiguous-peak agreement) is the contract; max may be
+        # inflated by near-tie double peaks where both estimates are valid
+        out["parity_px"] = {f"{win}px": _parity_config(win, h, w) for win in (16, 26, 32)}
     if "--chain" in sys.argv or "--full" in sys.argv:
         out["chain_4k_pairs_per_sec"] = round(_bench_chain_4k(), 1)
     print(json.dumps(out))

@@ -248,6 +248,20 @@ def test_fused_small_windows_match_xla(rng, sas, dims):
         assert np.quantile(d, 0.95) < 0.02
         assert d.max() < 1.0
     assert np.allclose(out_x[2], out_f[2], atol=5e-3)  # cmax
+    # estimator contract (same as bench.py parity cond_max): every window
+    # whose top-2 correlation peaks are separated by more than 5e-3 — i.e.
+    # the peak is unambiguous — must agree to well under half a pixel. Only
+    # near-tie double peaks may flip; this catches kernel precision
+    # regressions (e.g. a bad bf16 split) without TPU hardware.
+    import jax
+
+    corr = piv._cross_corr_jit(imgs, (h, w), sas, overlap, False, None, "matmul")
+    flat = corr.reshape(corr.shape[0], corr.shape[1], -1)
+    top2 = np.asarray(jax.lax.top_k(flat, 2)[0])
+    gap = (top2[..., 0] - top2[..., 1]).reshape(-1, n_rows, n_cols)
+    du = np.hypot(out_x[0] - out_f[0], out_x[1] - out_f[1])
+    confident = ~np.isnan(du) & (gap > 5e-3)
+    assert du[confident].max() < 0.1
     assert np.allclose(out_x[3], out_f[3], atol=0.15)  # s2n (ratio of tiny means)
 
 

@@ -117,6 +117,38 @@ def _peak_gap_strips(imgs, dim_size, sas, overlap, n_rows, n_cols):
 _PEAK_GAP_CONFIDENT = 5e-3
 
 
+def _bench_ensemble(window: int, h: int = 1088, w: int = 1920, n_frames: int = 65):
+    """pairs/s for the ensemble-accumulation path (the reference's long-video
+    production configuration, pyorc/velocimetry/ffpiv.py:182-376) at one
+    window size. <32 px routes to the tileband ensemble kernel; >=32 px to
+    the sliced VMEM-accumulator kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyorc_tpu.ops import piv_pallas, windows
+
+    sas = (window, window)
+    overlap = (window // 2, window // 2)
+    n_rows, n_cols = windows.get_field_shape((h, w), sas, overlap)
+    n_pairs = n_frames - 1
+
+    def step(frames):
+        cs, cc, cmax, s2n = piv_pallas.piv_ensemble_fused(
+            frames, (h, w), sas, overlap, n_rows, n_cols, 0.2, 3.0, None
+        )
+        return float(jnp.nansum(cmax) + jnp.nansum(cs[:2]) + jnp.nansum(cc[:9]))
+
+    key = jax.random.PRNGKey(0)
+    frames = jax.block_until_ready(jax.random.uniform(key, (n_frames, h, w), jnp.float32, 0, 255))
+    _ = step(frames)
+    dt = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = step(frames)
+        dt = min(dt, time.perf_counter() - t0)
+    return n_pairs / dt
+
+
 def _parity_config(window: int, h: int = 1088, w: int = 1920):
     """On-chip fused-vs-XLA displacement agreement on particle imagery with a
     known sub-pixel shift. The XLA reference runs the strip-chunked pipeline
@@ -233,6 +265,12 @@ def main():
             f"{win}px_1080p": {"pairs_per_sec": round(p, 1), "fp32_tflops": round(t, 2)}
             for win in (16, 26, 32)
             for p, t in [_bench_config(win, h, w)]
+        }
+        # ensemble-path rates at every window size (the long-video production
+        # configuration; must stay >= the per-pair rates at 16/26 px)
+        out["ensemble"] = {
+            f"{win}px_1080p": {"pairs_per_sec": round(_bench_ensemble(win, h, w), 1)}
+            for win in (16, 26, 32, 64)
         }
         # on-chip fused-vs-XLA displacement parity (recorded artifact):
         # cond_max (unambiguous-peak agreement) is the contract; max may be

@@ -856,6 +856,312 @@ def _piv_pairs_tb_jit(imgs, sas, steps, band0, nb, n_cols, interpret, pair_strid
     return u, v, cmax, s2n
 
 
+def _tb_ens_kernel(
+    frames_hbm,  # ANY/HBM ref [T, H, W]
+    pmx_ref,  # [4, pxw, pxw]
+    pmy_ref,  # [4, pwh, pwh]
+    dc_ref,  # [pxw, pwh]
+    b1x_ref,  # [pxw, px]
+    b1y_ref,  # [pwh, py]
+    qt3_ref,  # [3*bband*n_t, py, n_cols]
+    qs_ref,  # [px, n_cols]
+    acc_ref,  # [1, mt, pwh, pxw] packed corr-sum block, resident across pairs
+    count_ref,  # [1, bband, n_cols] block, resident across pairs
+    cmax_ref,  # [1, bband, n_cols] per (strip, pair)
+    s2n_ref,
+    bufs,  # VMEM scratch [3, slab_h, W]: rotating frame-slab buffers
+    tiles_s,  # VMEM scratch [2*mt, pwh, pxw]
+    sems,
+    *,
+    w: int,
+    step_y: int,
+    step_x: int,
+    n_cols: int,
+    n_pairs: int,
+    corr_min: float,
+    s2n_min: float,
+    bband: int,
+    slab_h: int,
+):
+    """Tileband ENSEMBLE kernel: the per-pair tileband correlation pipeline
+    (see ``_tb_kernel``) WITHOUT its u/v peak-stencil stage, plus a packed
+    [mt, pwh, pxw] corr-sum accumulator that stays VMEM-resident across the
+    pair grid axis (reduction pattern: the acc/count output blocks' index
+    maps are constant in the innermost grid dim). One frame slab streams per
+    pair (consecutive pairs share a frame — 3 rotating buffers), vs two per
+    band in the per-pair kernel. Unpacking the packed accumulator to
+    [n_windows, wy, wx] order happens ONCE in XLA after the launch.
+
+    Replaces the reference's long-video ensemble path
+    (pyorc/velocimetry/ffpiv.py:182-376) at the shipped small window sizes.
+    """
+    s = pl.program_id(0)
+    p = pl.program_id(1)
+    pmx = pmx_ref[:]
+    pmy = pmy_ref[:]
+    dc_mask = dc_ref[:]
+    b1x = b1x_ref[:]
+    b1y = b1y_ref[:]
+    qt3 = qt3_ref[:]
+    qs = qs_ref[:]
+    aligned = step_y % 8 == 0
+    py, px = _tb_shape(w)
+    wp = -(-w // 8) * 8
+    pxw = px * w
+    pwh = py * wp
+    g2 = 2 * py * px
+    n_t = qt3.shape[0] // (3 * bband)
+    mt = bband * n_t
+    n_pix = w * w
+    n_frames = frames_hbm.shape[0]
+    T = lambda x: jnp.swapaxes(x, -1, -2)
+    mm = lambda x, m: jnp.matmul(x, m, preferred_element_type=jnp.float32)
+
+    def mm1(x, m):
+        return jnp.matmul(x, m, preferred_element_type=jnp.float32)
+
+    def mm2(x, m):
+        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        return mm1(hi, m) + mm1(x - hi, m)
+
+    mmx = mm2
+    b1xt = b1x.T
+    b1yt = b1y.T
+
+    def block_sum(x):
+        return T(mmx(T(mmx(x, b1x)), b1y))
+
+    def block_reduce(x, red):
+        rows = [red(jax.lax.slice_in_dim(x, r * wp, (r + 1) * wp, axis=1), 1) for r in range(py)]
+        xr = jnp.concatenate(rows, axis=1)
+        cols = [red(jax.lax.slice_in_dim(xr, c * w, (c + 1) * w, axis=2), 2) for c in range(px)]
+        return jnp.concatenate(cols, axis=2)
+
+    rmax = lambda x, ax: jnp.max(x, axis=ax, keepdims=True)
+
+    def bcast(m, mm=None):
+        if mm is None:
+            mm = mmx
+        return T(mm(T(mm(m, b1xt)), b1yt))
+
+    def dft2t(v):
+        p_ = mm(v, pmx[0])
+        q_ = mm(v, pmx[1])
+        pt = T(p_)
+        qt_ = T(q_)
+        return mm(pt, pmy[0]) - mm(qt_, pmy[1]), mm(pt, pmy[1]) + mm(qt_, pmy[0])
+
+    # strip slab rows: bands [s*bband, (s+1)*bband) cover contiguous image
+    # rows (50% overlap -> stride step_y, height wp each)
+    r0 = (s * bband) * step_y
+    r0a = r0 if aligned else 8 * (r0 // 8)
+
+    def dma(frame_idx):
+        f = jnp.minimum(frame_idx, n_frames - 1)
+        return pltpu.make_async_copy(
+            frames_hbm.at[f, pl.ds(r0a, slab_h), :], bufs.at[frame_idx % 3], sems.at[frame_idx % 3]
+        )
+
+    def extract_band(buf, b):
+        # [wp, W]: band b of the strip (plus wp - w alignment-padding rows of
+        # following image content, excluded by the zero-padded matrices)
+        if aligned:
+            return jax.lax.slice_in_dim(buf, b * step_y, b * step_y + wp, axis=0)
+        rolled = pltpu.roll(buf, slab_h - ((r0 - r0a) + b * step_y), 0)
+        return jax.lax.slice_in_dim(rolled, 0, wp, axis=0)
+
+    def build_tiles(band, f, b):
+        for t in range(n_t):
+            u_, par = divmod(t, 2)
+            for r in range(py):
+                w0 = min(u_ * g2 + 2 * px * r + par, n_cols - 1)
+                tiles_s[(f * bband + b) * n_t + t, wp * r : wp * (r + 1), :] = (
+                    jax.lax.slice_in_dim(band, w0 * step_x, w0 * step_x + pxw, axis=1)
+                )
+
+    @pl.when(p == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        count_ref[...] = jnp.zeros_like(count_ref)
+        dma(0).start()
+        dma(1).start()
+
+    # prefetch one frame ahead; never start a copy no later pair waits on
+    @pl.when(p + 2 <= n_pairs)
+    def _():
+        dma(p + 2).start()
+
+    @pl.when(p == 0)
+    def _():
+        dma(0).wait()
+
+    dma(p + 1).wait()
+    for b in range(bband):
+        build_tiles(extract_band(bufs[p % 3], b), 0, b)
+        build_tiles(extract_band(bufs[(p + 1) % 3], b), 1, b)
+
+    # demean + forward DFT, both frames of all bands in one batch (see
+    # _tb_kernel for the numerical rationale)
+    ab = tiles_s[0 : 2 * mt]
+    ab = ab - bcast(block_sum(ab) / n_pix)
+    ssqs = block_sum(ab * ab)
+    ssq_a = jax.lax.slice_in_dim(ssqs, 0, mt, axis=0)
+    ssq_b = jax.lax.slice_in_dim(ssqs, mt, 2 * mt, axis=0)
+
+    ab_re, ab_im = dft2t(ab)
+    at_re = jax.lax.slice_in_dim(ab_re, 0, mt, axis=0) * dc_mask
+    at_im = jax.lax.slice_in_dim(ab_im, 0, mt, axis=0) * dc_mask
+    bt_re = jax.lax.slice_in_dim(ab_re, mt, 2 * mt, axis=0)
+    bt_im = jax.lax.slice_in_dim(ab_im, mt, 2 * mt, axis=0)
+    st_re = at_re * bt_re + at_im * bt_im
+    st_im = at_re * bt_im - at_im * bt_re
+    st_re_t = T(st_re)
+    st_im_t = T(st_im)
+    v_re = mm(st_re_t, pmx[2]) + mm(st_im_t, pmx[3])
+    v_im = mm(st_im_t, pmx[2]) - mm(st_re_t, pmx[3])
+    corr = T(mm(T(v_re), pmy[2]) + mm(T(v_im), pmy[3]))
+    corr = jnp.maximum(corr, 0.0)
+
+    cmax_raw = block_reduce(corr, rmax)
+    csum_raw = block_sum(corr)
+    sa = jnp.sqrt(jnp.maximum(ssq_a / n_pix, 0.0))
+    sb = jnp.sqrt(jnp.maximum(ssq_b / n_pix, 0.0))
+    valid = (sa > 1e-6) & (sb > 1e-6)
+    denom = jnp.maximum(n_pix * sa * sb, 1e-10) * n_pix
+    cmax_n = jnp.where(valid, cmax_raw / denom, 0.0)
+    cmean_n = jnp.where(valid, csum_raw / denom, 0.0) / n_pix
+    s2n_n = cmax_n / jnp.maximum(cmean_n, 1e-10)
+    okf = (
+        (cmax_n >= corr_min).astype(jnp.float32)
+        * (s2n_n >= s2n_min).astype(jnp.float32)
+        * valid.astype(jnp.float32)
+    )  # [mt, py, px]
+
+    # gated, normalized plane accumulation in the PACKED domain: one bcast of
+    # ok/denom + one fused multiply-add on the resident block
+    acc_ref[0] += corr * bcast(okf / denom)
+
+    # per-pair scalars (gated, matching piv_ensemble_scan's contract) through
+    # the batched qt/qs assemble into band-row order
+    allsc = jnp.concatenate([okf, okf * cmax_n, okf * s2n_n], axis=0)  # [3mt, py, px]
+    m1 = mmx(T(allsc), qt3)  # [3mt, px, n_cols]
+    m2 = jnp.sum(m1.reshape(3 * bband, n_t, px, n_cols), axis=1)
+    rows = jnp.sum(m2 * qs, axis=1)  # [3*bband, n_cols]
+    for b in range(bband):
+        count_ref[0, b : b + 1, :] += rows[b : b + 1]
+        cmax_ref[0, 0, b : b + 1, :] = rows[bband + b : bband + b + 1]
+        s2n_ref[0, 0, b : b + 1, :] = rows[2 * bband + b : 2 * bband + b + 1]
+
+
+def _tb_unpack_perm(w: int, n_cols: int) -> np.ndarray:
+    """Window j -> flat (tile, block-row, block-col) index in the packed
+    accumulator (inverse of the build_tiles layout, see _tb_consts)."""
+    py, px = _tb_shape(w)
+    g2 = 2 * py * px
+    perm = np.zeros(n_cols, np.int64)
+    for j in range(n_cols):
+        u, i = divmod(j, g2)
+        k, par = i // 2, i % 2
+        r, q = divmod(k, px)
+        perm[j] = (2 * u + par) * py * px + r * px + q
+    return perm
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+def _piv_ensemble_tb_jit(imgs, sas, steps, n_rows, n_cols, corr_min, s2n_min, interpret, bband):
+    """Tileband ensemble PIV (50%-overlap square windows < 32 px).
+
+    Returns the ``piv_ensemble_scan`` contract: (corr_sum [n_windows, wy, wx],
+    corr_count [n_windows], corr_max / s2n [n_pairs, n_rows, n_cols]).
+    """
+    wy, wx = sas
+    step_y, step_x = steps
+    w = wx
+    n_pairs = imgs.shape[0] - 1
+    py, px = _tb_shape(w)
+    wp = -(-w // 8) * 8
+    pxw = px * w
+    pwh = py * wp
+    n_pix = w * w
+    pmx, pmy = _tb_mats(w)
+    dc_mask, _cst, b1x, b1y, qt, qs = _tb_consts(w, n_cols)
+    n_t = qt.shape[0]
+    mt = bband * n_t
+    qt3 = np.tile(qt, (3 * bband, 1, 1))
+    n_strips = -(-n_rows // bband)
+    nb_pad = n_strips * bband
+    slack = 0 if step_y % 8 == 0 else 7
+    slab_h = -(-(slack + (bband - 1) * step_y + wp) // 8) * 8
+
+    # pad once: lane extent to the 128 tiling + the tileband build slack, row
+    # extent to cover the last strip's slab (padded bands read real-but-
+    # irrelevant rows; their rows are sliced off below)
+    w_needed = step_x * (n_cols - 1) + pxw
+    pad_w = max(w_needed - imgs.shape[-1], 0) + (-max(w_needed, imgs.shape[-1])) % 128
+    pad_h = max((n_strips - 1) * bband * step_y + slab_h - imgs.shape[-2], 0)
+    if pad_w or pad_h:
+        imgs = jnp.pad(imgs, ((0, 0), (0, pad_h), (0, pad_w)))
+    frames = imgs.astype(jnp.float32)
+    w_img = frames.shape[-1]
+
+    kernel = functools.partial(
+        _tb_ens_kernel, w=w, step_y=step_y, step_x=step_x, n_cols=n_cols,
+        n_pairs=n_pairs, corr_min=float(corr_min), s2n_min=float(s2n_min),
+        bband=bband, slab_h=slab_h,
+    )
+    # cmax/s2n are 4-D so the block's trailing two dims EQUAL the array dims
+    # (a (1, bband, n_cols) block over [n_pairs, nb_pad, n_cols] would need
+    # bband % 8 == 0 — Mosaic's sublane block constraint)
+    out_shape = [
+        jax.ShapeDtypeStruct((n_strips, mt, pwh, pxw), jnp.float32),  # packed corr-sum
+        jax.ShapeDtypeStruct((n_strips, bband, n_cols), jnp.float32),  # count
+        jax.ShapeDtypeStruct((n_pairs, n_strips, bband, n_cols), jnp.float32),  # cmax
+        jax.ShapeDtypeStruct((n_pairs, n_strips, bband, n_cols), jnp.float32),  # s2n
+    ]
+    vspec = lambda *dims: pl.BlockSpec(dims, lambda s_, p_: (0,) * len(dims), memory_space=pltpu.VMEM)
+    acc, count, cmax, s2n = pl.pallas_call(
+        kernel,
+        grid=(n_strips, n_pairs),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            vspec(4, pxw, pxw),
+            vspec(4, pwh, pwh),
+            vspec(pxw, pwh),
+            vspec(pxw, px),
+            vspec(pwh, py),
+            vspec(3 * bband * n_t, py, n_cols),
+            vspec(px, n_cols),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, mt, pwh, pxw), lambda s_, p_: (s_, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bband, n_cols), lambda s_, p_: (s_, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bband, n_cols), lambda s_, p_: (p_, s_, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bband, n_cols), lambda s_, p_: (p_, s_, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((3, slab_h, w_img), jnp.float32),
+            pltpu.VMEM((2 * mt, pwh, pxw), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(
+        frames, jnp.asarray(pmx), jnp.asarray(pmy), jnp.asarray(dc_mask),
+        jnp.asarray(b1x), jnp.asarray(b1y), jnp.asarray(qt3), jnp.asarray(qs),
+    )
+    # unpack the packed accumulator to window order, ONCE: [n_strips, mt,
+    # pwh, pxw] -> blocks -> gather real windows -> [n_windows, wy, wx]
+    blocks = acc.reshape(n_strips, bband, n_t, py, wp, px, w)[:, :, :, :, :w]
+    blocks = jnp.moveaxis(blocks, 5, 4).reshape(n_strips, bband, n_t * py * px, w, w)
+    perm = jnp.asarray(_tb_unpack_perm(w, n_cols))
+    corr_sum = blocks[:, :, perm].reshape(nb_pad, n_cols, w, w)[:n_rows]
+    corr_sum = corr_sum.reshape(n_rows * n_cols, w, w)
+    corr_count = count.reshape(nb_pad, n_cols)[:n_rows].reshape(n_rows * n_cols)
+    cmax = cmax.reshape(n_pairs, nb_pad, n_cols)[:, :n_rows]
+    s2n = s2n.reshape(n_pairs, nb_pad, n_cols)[:, :n_rows]
+    return corr_sum, corr_count, cmax, s2n
+
+
 def piv_pairs_fused(
     imgs,
     dim_size: Tuple[int, int],
@@ -1273,14 +1579,47 @@ def piv_ensemble_fused(
         return piv_ops.piv_ensemble_scan(
             imgs, dim_size, sas, overlap, n_rows, n_cols, corr_min, s2n_min, signal_threshold
         )
-    # NB: a packed-accumulator tileband ensemble variant (packed-domain
-    # correlation with the corr-sum resident in packed layout) passed parity
-    # but measured ~10x SLOWER than this sliced kernel on v5e (36 vs 380
-    # pairs/s at 26 px) and was dropped — the sliced chunked form keeps the
-    # ensemble fast at every supported window size.
+    imgs = jnp.asarray(imgs)
+    pack = _fused_plan(wy, wx, step_y)[0]
+    if _tileband_ok(wy, wx, step_x, pack):
+        # small windows (<32 px, the reference's shipped 16/26 px configs)
+        # run the tileband ensemble kernel: the per-pair tileband pipeline
+        # minus its u/v stencil stage, with a VMEM-resident packed corr-sum
+        # over a (strips, pairs) grid and one frame slab DMA per pair. (An
+        # earlier round-2-era packed-accumulator variant measured 10x slower
+        # — it lacked bband batching, the batched assemble, and the bf16
+        # 2-pass gather matmuls; this one shares all of the per-pair
+        # kernel's round-3 machinery.)
+        bband = _tb_bband(wx, n_cols)
+        while True:
+            try:
+                return _piv_ensemble_tb_jit(
+                    imgs, (wy, wx), (step_y, step_x), n_rows, n_cols,
+                    float(corr_min), float(s2n_min), bool(interpret), bband,
+                )
+            except Exception as e:
+                msg = str(e).lower()
+                # match only the scoped-VMEM overflow, not every message that
+                # happens to print a "memory space vmem" block spec
+                vmem_over = "vmem" in msg and any(
+                    t in msg for t in ("exceed", "limit", "alloc", "scoped")
+                )
+                if vmem_over and bband > 1:
+                    bband //= 2
+                    continue
+                if "resource_exhausted" in msg or "out of memory" in msg:
+                    raise  # engine chunk backoff handles device OOM
+                import warnings
+
+                warnings.warn(
+                    f"Tileband ensemble kernel failed ({e}); "
+                    "falling back to the sliced ensemble kernel.",
+                    stacklevel=2,
+                )
+                break
     try:
         return _piv_ensemble_fused_jit(
-            jnp.asarray(imgs), (wy, wx), (step_y, step_x), n_rows, n_cols,
+            imgs, (wy, wx), (step_y, step_x), n_rows, n_cols,
             float(corr_min), float(s2n_min), bool(interpret),
         )
     except Exception as e:

@@ -58,25 +58,28 @@ def test_ensemble_sharded_matches_single(frame_stack):
     assert np.allclose(cm1, cm8, atol=1e-4)
 
 
-def test_ensemble_sharded_fused_matches_single(frame_stack):
+@pytest.mark.parametrize("sas", [(32, 32), (16, 16)], ids=["32px-sliced", "16px-tileband"])
+def test_ensemble_sharded_fused_matches_single(frame_stack, sas):
     """The fused ensemble kernel inside shard_map (engine='fused-interpret'
     on the CPU mesh) matches the single-device fused kernel — the mesh path
     the BASELINE config-3 workload takes on real hardware. 10 pairs over 8
-    devices exercises the zero-frame padding exclusion too."""
+    devices exercises the zero-frame padding exclusion too; 16 px drives the
+    tileband ensemble kernel (the <32 px production path) inside the mesh."""
     from pyorc_tpu.ops import piv_pallas
 
     imgs = frame_stack
     h, w = imgs.shape[-2:]
-    n_rows, n_cols = windows.get_field_shape((h, w), (32, 32), (16, 16))
+    overlap = (sas[0] // 2, sas[1] // 2)
+    n_rows, n_cols = windows.get_field_shape((h, w), sas, overlap)
     cs1, cc1, cm1, s1 = (
         np.asarray(a)
         for a in piv_pallas.piv_ensemble_fused(
-            imgs, (h, w), (32, 32), (16, 16), n_rows, n_cols, 0.1, 1.5, None,
+            imgs, (h, w), sas, overlap, n_rows, n_cols, 0.1, 1.5, None,
             interpret=True,
         )
     )
     cs8, cc8, cm8, s8 = parallel.piv_ensemble_sharded(
-        imgs, (32, 32), (16, 16), corr_min=0.1, s2n_min=1.5, engine="fused-interpret"
+        imgs, sas, overlap, corr_min=0.1, s2n_min=1.5, engine="fused-interpret"
     )
     assert cm8.shape == cm1.shape
     assert np.allclose(cc1, cc8)

@@ -329,13 +329,54 @@ def get_gcps_interactive(
     return src, selector.camera_matrix_fit, selector.dist_coeffs_fit
 
 
-def get_corners_interactive(fn, gcps, crs=None, crs_gcps=None, frame_sample=0, rotation=None, logger=logging):
-    """Interactive AOI corner selection on a sample frame. Reference :22-63."""
+def get_corners_interactive(
+    fn, gcps, crs=None, crs_gcps=None, frame_sample=0, camera_matrix=None, dist_coeffs=None,
+    rotation=None, logger=logging,
+):
+    """Interactive AOI corner selection on a sample frame. Reference :22-63.
+
+    Builds an interim CameraConfig from the already-selected GCPs (and any
+    optimized intrinsics) so ``AoiSelect`` can render the live ortho-bbox
+    preview the reference shows (reference ``cli_elements.py:236-359``); a
+    failed interim fit degrades to plain corner clicking, never blocks it.
+    """
     from .cli_elements import AoiSelect
 
     img = _sample_rgb_frame(fn, frame_sample, rotation)
-    selector = AoiSelect(img, logger=logger)
+    cam_config = _interim_camera_config(img, gcps, crs=crs, camera_matrix=camera_matrix,
+                                        dist_coeffs=dist_coeffs, rotation=rotation, logger=logger)
+    selector = AoiSelect(img, src=gcps.get("src"), dst=gcps.get("dst"), camera_config=cam_config, logger=logger)
     return selector.run()
+
+
+def _interim_camera_config(img, gcps, crs=None, camera_matrix=None, dist_coeffs=None,
+                           rotation=None, logger=logging):
+    """Preliminary CameraConfig from clicked GCPs for the AOI live preview.
+
+    Mirrors the reference's interim config (reference ``cli_utils.py:22-63``):
+    height/width from the sample frame, the gcps dict as-is (its optional
+    ``crs`` key reprojects dst into ``crs``), plus any optimized intrinsics
+    from the GCP selector. Returns None when the fit fails (e.g. degenerate
+    GCPs) so the caller can still collect corners without a preview.
+    """
+    from ..api.cameraconfig import CameraConfig
+
+    try:
+        gcps_cc = {k: v for k, v in gcps.items() if k in ("src", "dst", "z_0", "h_ref", "crs")}
+        if gcps_cc.get("crs") is None:
+            gcps_cc.pop("crs", None)
+        return CameraConfig(
+            height=int(img.shape[0]),
+            width=int(img.shape[1]),
+            crs=crs,
+            gcps=gcps_cc,
+            camera_matrix=camera_matrix.tolist() if hasattr(camera_matrix, "tolist") else camera_matrix,
+            dist_coeffs=dist_coeffs.tolist() if hasattr(dist_coeffs, "tolist") else dist_coeffs,
+            rotation=rotation,
+        )
+    except Exception as e:
+        logger.warning(f"Could not build interim camera config for AOI preview: {e}")
+        return None
 
 
 def get_stabilize_pol(fn, frame_sample=0, rotation=None, logger=logging):

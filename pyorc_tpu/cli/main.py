@@ -175,10 +175,10 @@ def camera_config(
             corners = [[0, 0], [vid.width, 0], [vid.width, vid.height], [0, vid.height]]
         else:
             logger.warning("No corner points provided; select them interactively.")
-            vid = Video(videofile, start_frame=frame_sample, end_frame=frame_sample + 1, rotation=rotation, progress=False)
-            img = vid.get_frame(0, method="rgb")
-            selector = __import__("pyorc_tpu.cli.cli_elements", fromlist=["AoiSelect"]).AoiSelect(img, logger=logger)
-            corners = selector.run()
+            corners = cli_utils.get_corners_interactive(
+                videofile, gcps, crs=crs, frame_sample=frame_sample,
+                camera_matrix=camera_matrix, dist_coeffs=dist_coeffs, rotation=rotation, logger=logger,
+            )
             if len(corners) != 4:
                 raise click.UsageError("4 corner points are required; provide --corners.")
     stabilize_pol = None

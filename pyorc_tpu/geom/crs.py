@@ -4,14 +4,19 @@ The reference delegates CRS handling to pyproj/rasterio (reference
 ``pyorc/helpers.py:299-333,916-954``); neither is available here, so we
 implement the projection families river cameras actually use:
 
-- UTM / Transverse Mercator on WGS84 — Karney's 6th-order Krüger series
-  (sub-millimetre accuracy)
+- Transverse Mercator on arbitrary ellipsoids (Karney's 6th-order Krüger
+  series, sub-millimetre) — WGS84/UTM (326xx/327xx), ETRS89/UTM (258xx),
+  NAD83/UTM (269xx), GDA94/MGA (283xx), OSGB36/British National Grid (27700)
 - Oblique Stereographic (EPSG method 9809, e.g. Dutch RD New / EPSG:28992)
-  on arbitrary ellipsoids, with 7-parameter Helmert datum shifts to WGS84
+- Lambert Conformal Conic 1SP/2SP (EPSG methods 9801/9802, e.g. RGF93 /
+  Lambert-93 EPSG:2154, Belgian Lambert 72 EPSG:31370)
 
-plus WKT/EPSG/proj4 string parsing sufficient to read reference camera-config
-JSONs unchanged. Unknown projected WKTs still parse (the pipeline runs
-entirely in projected coordinates); only lon/lat conversion raises for them.
+all with 7-parameter Helmert datum shifts to WGS84 where the datum is not
+WGS84-equivalent, plus WKT/EPSG/proj4 string parsing sufficient to read
+reference camera-config JSONs unchanged and to accept any TM / LCC /
+oblique-stereographic CRS given as WKT. Unknown projected WKTs still parse
+(the pipeline runs entirely in projected coordinates); only lon/lat
+conversion raises for them.
 """
 
 from __future__ import annotations
@@ -62,7 +67,20 @@ def _kruger_coeffs(a: float, f: float):
     return a_bar, alpha, beta
 
 
-def _tm_forward(lon, lat, lon0, k0, fe, fn_, a=_A, f=_F) -> Tuple[np.ndarray, np.ndarray]:
+def _tm_meridian_arc(lat0_deg: float, a: float, f: float) -> float:
+    """Meridian arc length from the equator to lat0 (the Krüger xi at lam=0)."""
+    if lat0_deg == 0.0:
+        return 0.0
+    a_bar, alpha, _ = _kruger_coeffs(a, f)
+    e = math.sqrt(f * (2 - f))
+    s = math.sin(math.radians(lat0_deg))
+    t = math.sinh(math.atanh(s) - e * math.atanh(e * s))
+    xi_p = math.atan(t)
+    xi = xi_p + sum(alpha[j - 1] * math.sin(2 * j * xi_p) for j in range(1, 7))
+    return a_bar * xi
+
+
+def _tm_forward(lon, lat, lon0, k0, fe, fn_, a=_A, f=_F, lat0=0.0) -> Tuple[np.ndarray, np.ndarray]:
     a_bar, alpha, _ = _kruger_coeffs(a, f)
     e = math.sqrt(f * (2 - f))
     lon = np.radians(np.asarray(lon, dtype=np.float64))
@@ -77,17 +95,17 @@ def _tm_forward(lon, lat, lon0, k0, fe, fn_, a=_A, f=_F) -> Tuple[np.ndarray, np
     xi = xi_p + np.sum(alpha * np.sin(2 * j * xi_p[..., None]) * np.cosh(2 * j * eta_p[..., None]), axis=-1)
     eta = eta_p + np.sum(alpha * np.cos(2 * j * xi_p[..., None]) * np.sinh(2 * j * eta_p[..., None]), axis=-1)
     E = fe + k0 * a_bar * eta
-    N = fn_ + k0 * a_bar * xi
+    N = fn_ + k0 * (a_bar * xi - _tm_meridian_arc(lat0, a, f))
     return E, N
 
 
-def _tm_reverse(E, N, lon0, k0, fe, fn_, a=_A, f=_F) -> Tuple[np.ndarray, np.ndarray]:
+def _tm_reverse(E, N, lon0, k0, fe, fn_, a=_A, f=_F, lat0=0.0) -> Tuple[np.ndarray, np.ndarray]:
     a_bar, _, beta = _kruger_coeffs(a, f)
     e2 = f * (2 - f)
     e = math.sqrt(e2)
     E = np.asarray(E, dtype=np.float64)
     N = np.asarray(N, dtype=np.float64)
-    xi = (N - fn_) / (k0 * a_bar)
+    xi = (N - fn_ + k0 * _tm_meridian_arc(lat0, a, f)) / (k0 * a_bar)
     eta = (E - fe) / (k0 * a_bar)
     j = np.arange(1, 7)
     xi_p = xi - np.sum(beta * np.sin(2 * j * xi[..., None]) * np.cosh(2 * j * eta[..., None]), axis=-1)
@@ -185,6 +203,88 @@ def e2_of(e):
     return e * e
 
 
+# -- Lambert Conformal Conic (EPSG methods 9801 1SP / 9802 2SP) -----------------------
+# Formulas per EPSG Guidance Note 7-2 §3.1.1. Covers the European national grids the
+# reference handles through pyproj (e.g. RGF93/Lambert-93, Belgian Lambert 72).
+
+
+class _LambertConformal:
+    def __init__(
+        self,
+        a: float,
+        inv_f: float,
+        lat0: float,
+        lon0: float,
+        fe: float,
+        fn_: float,
+        sp1: Optional[float] = None,
+        sp2: Optional[float] = None,
+        k0: float = 1.0,
+    ):
+        """2SP when sp1/sp2 are given (k0 ignored, EPSG 9802); 1SP otherwise (EPSG 9801)."""
+        self.a = a
+        self.f = 1.0 / inv_f
+        self.e2 = self.f * (2 - self.f)
+        self.e = math.sqrt(self.e2)
+        self.lat0, self.lon0 = lat0, lon0
+        self.fe, self.fn = fe, fn_
+        self.sp1, self.sp2, self.k0 = sp1, sp2, k0
+        e = self.e
+
+        def m(phi):
+            s = math.sin(phi)
+            return math.cos(phi) / math.sqrt(1 - self.e2 * s * s)
+
+        def t_of(phi):
+            s = math.sin(phi)
+            return math.tan(math.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+
+        phi0 = math.radians(lat0)
+        t0 = t_of(phi0)
+        if sp1 is not None and sp2 is not None:
+            p1, p2 = math.radians(sp1), math.radians(sp2)
+            m1, m2 = m(p1), m(p2)
+            t1, t2 = t_of(p1), t_of(p2)
+            if abs(p1 - p2) < 1e-12:
+                self.n = math.sin(p1)
+            else:
+                self.n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+            self.F = m1 / (self.n * t1**self.n)
+            self.r0 = a * self.F * t0**self.n  # t0 = 0 at lat0 = 90 deg (Belgian grid): r0 = 0
+        else:
+            self.n = math.sin(phi0)
+            self.F = m(phi0) / (self.n * t0**self.n) * k0
+            self.r0 = a * self.F * t0**self.n
+
+    def _t(self, lat):
+        s = np.sin(lat)
+        return np.tan(math.pi / 4 - lat / 2) / ((1 - self.e * s) / (1 + self.e * s)) ** (self.e / 2)
+
+    def forward(self, lon, lat):
+        lon = np.radians(np.asarray(lon, dtype=np.float64))
+        lat = np.radians(np.asarray(lat, dtype=np.float64))
+        t = self._t(lat)
+        r = self.a * self.F * t**self.n
+        theta = self.n * (lon - math.radians(self.lon0))
+        E = self.fe + r * np.sin(theta)
+        N = self.fn + self.r0 - r * np.cos(theta)
+        return E, N
+
+    def reverse(self, E, N):
+        E = np.asarray(E, dtype=np.float64) - self.fe
+        dN = self.r0 - (np.asarray(N, dtype=np.float64) - self.fn)
+        sgn = 1.0 if self.n >= 0 else -1.0
+        r = sgn * np.sqrt(E * E + dN * dN)
+        t = (r / (self.a * self.F)) ** (1.0 / self.n)
+        theta = np.arctan2(sgn * E, sgn * dN)
+        lon = theta / self.n + math.radians(self.lon0)
+        phi = math.pi / 2 - 2 * np.arctan(t)
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = math.pi / 2 - 2 * np.arctan(t * ((1 - self.e * s) / (1 + self.e * s)) ** (self.e / 2))
+        return np.degrees(lon), np.degrees(phi)
+
+
 # -- geocentric conversions + Helmert (position-vector convention) --------------------
 
 
@@ -230,6 +330,11 @@ def _helmert(X, Y, Z, p, inverse=False):
 # well-known datum shifts to WGS84 (position-vector towgs84 parameters)
 _TOWGS84 = {
     "Amersfoort": (565.2369, 50.0087, 465.658, -0.406857, 0.350733, -1.87035, 4.0812),
+    # Belgian Datum 72 (NGI standard transformation, EPSG:15929)
+    "Reseau National Belge 1972": (-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747),
+    # OSGB36 -> WGS84 (EPSG:1314 position-vector)
+    "OSGB 1936": (446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489),
+    "OSGB36": (446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489),
 }
 
 _ELLIPSOIDS = {
@@ -238,6 +343,8 @@ _ELLIPSOIDS = {
     "GRS 1980": (6378137.0, 298.257222101),
     "International 1924": (6378388.0, 297.0),
     "Clarke 1880 (IGN)": (6378249.2, 293.4660212936269),
+    "Clarke 1866": (6378206.4, 294.978698213898),
+    "Airy 1830": (6377563.396, 299.3249646),
 }
 
 
@@ -254,21 +361,27 @@ class CRS:
         false_northing: float = 0.0,
         geographic: bool = False,
         stereo: Optional["_ObliqueStereo"] = None,
+        lcc: Optional["_LambertConformal"] = None,
         towgs84: Optional[tuple] = None,
         ellipsoid: tuple = (6378137.0, 298.257223563),
         opaque_projected: bool = False,
+        lat0: float = 0.0,
+        name: Optional[str] = None,
     ):
         self.epsg = epsg
         self.wkt = wkt
         self.lon0 = lon0
+        self.lat0 = lat0
         self.k0 = k0
         self.false_easting = false_easting
         self.false_northing = false_northing
         self.geographic = geographic
         self.stereo = stereo
+        self.lcc = lcc
         self.towgs84 = towgs84
         self.ellipsoid = ellipsoid
         self.opaque_projected = opaque_projected
+        self.name = name
 
     # -- constructors ------------------------------------------------------------
 
@@ -309,9 +422,44 @@ class CRS:
                 a, inv_f, lat0=52.1561605555556, lon0=5.38763888888889, k0=0.9999079, fe=155000.0, fn_=463000.0
             )
             return cls(epsg=code, stereo=stereo, ellipsoid=(a, inv_f), towgs84=_TOWGS84["Amersfoort"])
+        # ETRS89 / UTM zones 28N-38N (standard in European hydrology). ETRS89 and
+        # WGS84 agree to well under the GCP accuracy floor; EPSG's canonical
+        # transformation between them is the null transformation (EPSG:1149).
+        if 25828 <= code <= 25838:
+            zone = code - 25800
+            return cls(epsg=code, lon0=zone * 6 - 183, false_northing=0.0,
+                       ellipsoid=_ELLIPSOIDS["GRS 1980"], name=f"ETRS89 / UTM zone {zone}N")
+        if 26901 <= code <= 26923:  # NAD83 / UTM (null transformation to WGS84, EPSG:1188)
+            zone = code - 26900
+            return cls(epsg=code, lon0=zone * 6 - 183, false_northing=0.0,
+                       ellipsoid=_ELLIPSOIDS["GRS 1980"], name=f"NAD83 / UTM zone {zone}N")
+        if 28348 <= code <= 28358:  # GDA94 / MGA (southern hemisphere)
+            zone = code - 28300
+            return cls(epsg=code, lon0=zone * 6 - 183, false_northing=10000000.0,
+                       ellipsoid=_ELLIPSOIDS["GRS 1980"], name=f"GDA94 / MGA zone {zone}")
+        if code == 2154:  # RGF93 v1 / Lambert-93 (French national grid, LCC 2SP)
+            a, inv_f = _ELLIPSOIDS["GRS 1980"]
+            lcc = _LambertConformal(a, inv_f, lat0=46.5, lon0=3.0, fe=700000.0, fn_=6600000.0, sp1=49.0, sp2=44.0)
+            return cls(epsg=code, lcc=lcc, ellipsoid=(a, inv_f), name="RGF93 v1 / Lambert-93")
+        if code == 31370:  # BD72 / Belgian Lambert 72 (LCC 2SP, lat0 at the pole)
+            a, inv_f = _ELLIPSOIDS["International 1924"]
+            lcc = _LambertConformal(
+                a, inv_f, lat0=90.0, lon0=4.367486666666666, fe=150000.013, fn_=5400088.438,
+                sp1=51.16666723333333, sp2=49.8333339,
+            )
+            return cls(epsg=code, lcc=lcc, ellipsoid=(a, inv_f),
+                       towgs84=_TOWGS84["Reseau National Belge 1972"], name="BD72 / Belgian Lambert 72")
+        if code == 27700:  # OSGB36 / British National Grid (TM with non-zero lat0)
+            a, inv_f = _ELLIPSOIDS["Airy 1830"]
+            return cls(epsg=code, lon0=-2.0, lat0=49.0, k0=0.9996012717, false_easting=400000.0,
+                       false_northing=-100000.0, ellipsoid=(a, inv_f),
+                       towgs84=_TOWGS84["OSGB 1936"], name="OSGB36 / British National Grid")
         raise NotImplementedError(
-            f"EPSG:{code} not supported — supported CRS: EPSG:4326 (WGS84) and WGS84/UTM "
-            f"zones (EPSG:326xx/327xx), which cover standard river-camera georeferencing"
+            f"EPSG:{code} not supported — supported CRS: EPSG:4326 (WGS84), WGS84/UTM "
+            f"(EPSG:326xx/327xx), ETRS89/UTM (258xx), NAD83/UTM (269xx), GDA94/MGA (283xx), "
+            f"RD New (28992), Lambert-93 (2154), Belgian Lambert 72 (31370), British National "
+            f"Grid (27700), plus any Transverse Mercator / Oblique Stereographic / Lambert "
+            f"Conformal Conic CRS given as WKT"
         )
 
     @classmethod
@@ -364,16 +512,38 @@ class CRS:
         # generic transverse mercator: parse projection parameters
         if re.search(r"Transverse\s*_?Mercator", wkt, re.I):
             lon0 = param([r"Longitude of natural origin", r"central_meridian"], 0.0)
+            lat0 = param([r"Latitude of natural origin", r"latitude_of_origin"], 0.0)
             k0 = param([r"Scale factor at natural origin", r"scale_factor"], 0.9996)
             fe = param([r"False easting", r"false_easting"], 500000.0)
             fn_ = param([r"False northing", r"false_northing"], 0.0)
             return cls(
                 wkt=wkt,
                 lon0=lon0,
+                lat0=lat0,
                 k0=k0,
                 false_easting=fe,
                 false_northing=fn_,
                 ellipsoid=ellipsoid_of(),
+                towgs84=datum_shift(),
+            )
+        # Lambert Conformal Conic, 2SP (EPSG 9802) or 1SP (EPSG 9801)
+        if re.search(r"Lambert[\s_]*Coni?c[\s_]*Conformal|Lambert[\s_]*Conformal[\s_]*Conic", wkt, re.I):
+            a, inv_f = ellipsoid_of()
+            lat0 = param([r"Latitude of (?:false|natural) origin", r"latitude_of_origin"], 0.0)
+            lon0 = param([r"Longitude of (?:false|natural) origin", r"central_meridian",
+                          r"Longitude of origin"], 0.0)
+            sp1 = param([r"Latitude of 1st standard parallel", r"standard_parallel_1"], None)
+            sp2 = param([r"Latitude of 2nd standard parallel", r"standard_parallel_2"], None)
+            k0 = param([r"Scale factor at natural origin", r"scale_factor"], 1.0)
+            fe = param([r"Easting at false origin", r"False easting", r"false_easting"], 0.0)
+            fn_ = param([r"Northing at false origin", r"False northing", r"false_northing"], 0.0)
+            lcc = _LambertConformal(a, inv_f, lat0=lat0, lon0=lon0, fe=fe, fn_=fn_, sp1=sp1, sp2=sp2, k0=k0)
+            ids = re.findall(r'(?:ID|AUTHORITY)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]', wkt)
+            return cls(
+                epsg=int(ids[-1]) if ids else None,
+                wkt=wkt,
+                lcc=lcc,
+                ellipsoid=(a, inv_f),
                 towgs84=datum_shift(),
             )
         if re.search(r"Oblique[\s_]*Stereographic", wkt, re.I):
@@ -428,6 +598,9 @@ class CRS:
                 'AXIS["geodetic longitude (Lon)",east,ORDER[2],ANGLEUNIT["degree",0.0174532925199433]],'
                 'ID["EPSG",4326]]'
             )
+        if self.stereo is not None or self.lcc is not None or self.lat0 != 0.0 \
+                or self.towgs84 is not None or self.ellipsoid != (6378137.0, 298.257223563):
+            return self._to_wkt1()
         name = f"WGS 84 / UTM zone {self._zone_name()}" if self.epsg else "WGS 84 / custom TM"
         idtail = f',ID["EPSG",{self.epsg}]' if self.epsg else ""
         return (
@@ -442,6 +615,62 @@ class CRS:
             f'PARAMETER["False northing",{self.false_northing},LENGTHUNIT["metre",1],ID["EPSG",8807]]],'
             f'CS[Cartesian,2],AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],'
             f'AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]]{idtail}]'
+        )
+
+    def _to_wkt1(self) -> str:
+        """WKT1 (PROJCS) for non-WGS84-TM families: carries the real ellipsoid,
+        TOWGS84 datum shift and projection parameters so downstream GIS tools
+        (QGIS via the GeoTIFF/UGRID writers) and our own parser both read it."""
+        a, inv_f = self.ellipsoid
+        ell_name = next((k for k, v in _ELLIPSOIDS.items() if v == (a, inv_f)), "unnamed")
+        datum_name = (self.name or "unnamed").replace(" / ", "_").replace(" ", "_")
+        towgs = f",TOWGS84[{','.join(repr(float(v)) for v in self.towgs84)}]" if self.towgs84 else ""
+        geogcs = (
+            f'GEOGCS["{datum_name}",DATUM["{datum_name}",'
+            f'SPHEROID["{ell_name}",{a!r},{inv_f!r}]{towgs}],'
+            f'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]'
+        )
+        if self.stereo is not None:
+            s = self.stereo
+            proj = (
+                f'PROJECTION["Oblique_Stereographic"],'
+                f'PARAMETER["latitude_of_origin",{math.degrees(s.lat0)!r}],'
+                f'PARAMETER["central_meridian",{math.degrees(s.lon0)!r}],'
+                f'PARAMETER["scale_factor",{s.k0!r}],'
+                f'PARAMETER["false_easting",{s.fe!r}],PARAMETER["false_northing",{s.fn!r}]'
+            )
+        elif self.lcc is not None:
+            p = self.lcc
+            if p.sp1 is not None and p.sp2 is not None:
+                proj = (
+                    f'PROJECTION["Lambert_Conformal_Conic_2SP"],'
+                    f'PARAMETER["latitude_of_origin",{p.lat0!r}],'
+                    f'PARAMETER["central_meridian",{p.lon0!r}],'
+                    f'PARAMETER["standard_parallel_1",{p.sp1!r}],'
+                    f'PARAMETER["standard_parallel_2",{p.sp2!r}],'
+                    f'PARAMETER["false_easting",{p.fe!r}],PARAMETER["false_northing",{p.fn!r}]'
+                )
+            else:
+                proj = (
+                    f'PROJECTION["Lambert_Conformal_Conic_1SP"],'
+                    f'PARAMETER["latitude_of_origin",{p.lat0!r}],'
+                    f'PARAMETER["central_meridian",{p.lon0!r}],'
+                    f'PARAMETER["scale_factor",{p.k0!r}],'
+                    f'PARAMETER["false_easting",{p.fe!r}],PARAMETER["false_northing",{p.fn!r}]'
+                )
+        else:
+            proj = (
+                f'PROJECTION["Transverse_Mercator"],'
+                f'PARAMETER["latitude_of_origin",{self.lat0!r}],'
+                f'PARAMETER["central_meridian",{self.lon0!r}],'
+                f'PARAMETER["scale_factor",{self.k0!r}],'
+                f'PARAMETER["false_easting",{self.false_easting!r}],'
+                f'PARAMETER["false_northing",{self.false_northing!r}]'
+            )
+        auth = f',AUTHORITY["EPSG","{self.epsg}"]' if self.epsg else ""
+        return (
+            f'PROJCS["{self.name or datum_name}",{geogcs},{proj},'
+            f'UNIT["metre",1],AXIS["Easting",EAST],AXIS["Northing",NORTH]{auth}]'
         )
 
     def _zone_name(self) -> str:
@@ -463,14 +692,19 @@ class CRS:
             return self.epsg == other.epsg
         if self.opaque_projected or other.opaque_projected:
             return self.wkt == other.wkt
-        if (self.stereo is None) != (other.stereo is None):
+        if (self.stereo is None) != (other.stereo is None) or (self.lcc is None) != (other.lcc is None):
             return False
         if self.stereo is not None:
             s, o = self.stereo, other.stereo
             return (s.lat0, s.lon0, s.k0, s.fe, s.fn, s.a, s.f) == (o.lat0, o.lon0, o.k0, o.fe, o.fn, o.a, o.f)
+        if self.lcc is not None:
+            s, o = self.lcc, other.lcc
+            return (s.lat0, s.lon0, s.sp1, s.sp2, s.k0, s.fe, s.fn, s.a, s.f) == (
+                o.lat0, o.lon0, o.sp1, o.sp2, o.k0, o.fe, o.fn, o.a, o.f)
         return (
             self.geographic == other.geographic
             and self.lon0 == other.lon0
+            and self.lat0 == other.lat0
             and self.k0 == other.k0
             and self.false_easting == other.false_easting
             and self.false_northing == other.false_northing
@@ -512,10 +746,13 @@ class CRS:
             )
         if self.stereo is not None:
             lon, lat = self.stereo.reverse(x, y)
+        elif self.lcc is not None:
+            lon, lat = self.lcc.reverse(x, y)
         else:
             a, inv_f = self.ellipsoid
             lon, lat = _tm_reverse(
-                x, y, self.lon0, self.k0, self.false_easting, self.false_northing, a=a, f=1.0 / inv_f
+                x, y, self.lon0, self.k0, self.false_easting, self.false_northing,
+                a=a, f=1.0 / inv_f, lat0=self.lat0,
             )
         return self._datum_to_wgs84(lon, lat)
 
@@ -530,8 +767,11 @@ class CRS:
         lon, lat = self._datum_from_wgs84(lon, lat)
         if self.stereo is not None:
             return self.stereo.forward(lon, lat)
+        if self.lcc is not None:
+            return self.lcc.forward(lon, lat)
         a, inv_f = self.ellipsoid
-        return _tm_forward(lon, lat, self.lon0, self.k0, self.false_easting, self.false_northing, a=a, f=1.0 / inv_f)
+        return _tm_forward(lon, lat, self.lon0, self.k0, self.false_easting, self.false_northing,
+                           a=a, f=1.0 / inv_f, lat0=self.lat0)
 
 
 def transform_points(src: Union[CRS, int, str], dst: Union[CRS, int, str], x, y) -> Tuple[np.ndarray, np.ndarray]:

@@ -140,6 +140,8 @@ def _device_maps(maps: OrthoMaps):
 
 def _arith_spec(idx: np.ndarray):
     """(start, limit, step) when ``idx`` is an arithmetic ramp, else None."""
+    if len(idx) == 0:
+        return None
     if len(idx) == 1:
         return (int(idx[0]), int(idx[0]) + 1, 1)
     step = int(idx[1]) - int(idx[0])

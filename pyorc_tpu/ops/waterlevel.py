@@ -79,9 +79,13 @@ def _counts_jit(img_pad, offsets, rings, valid_edges, img_lims,
 
     # batch_size vmaps candidates in chunks: a bare lax.map is a sequential
     # scan whose tiny per-step work leaves the VPU idle (measured 7.4 s for
-    # 501 candidates on-chip); 32-wide chunks bound the [32, hc*wc, V]
-    # ray-cast intermediates while restoring data parallelism
-    return jax.lax.map(one, (offsets, rings, valid_edges, img_lims), batch_size=32)
+    # 501 candidates on-chip). The chunk width is bounded by the [B, hc*wc, V]
+    # f32 ray-cast intermediates: a near-frame-sized crop with hundreds of
+    # ring vertices at B=32 would be tens of GB, so scale B to a ~256 MB
+    # footprint (all shapes here are static at trace time).
+    v_pad = int(rings.shape[1])
+    batch = max(1, min(32, (256 << 20) // max(hc * wc * v_pad * 4, 1)))
+    return jax.lax.map(one, (offsets, rings, valid_edges, img_lims), batch_size=batch)
 
 
 def polygon_histogram_scores(

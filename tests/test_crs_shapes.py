@@ -51,6 +51,168 @@ def test_crs_user_inputs():
         crs_mod.CRS.from_epsg(3857)
 
 
+def test_lcc_2sp_epsg_worked_example():
+    """EPSG Guidance Note 7-2 §3.1.1.1 worked example: NAD27 / Texas South
+    Central (Clarke 1866, US survey feet). Published: (28°30'N, 96°W) ->
+    E=2963503.91, N=254759.80 US ft."""
+    lcc = crs_mod._LambertConformal(
+        20925832.16, 294.97870, lat0=27 + 50 / 60, lon0=-99.0,
+        fe=2000000.0, fn_=0.0, sp1=28 + 23 / 60, sp2=30 + 17 / 60,
+    )
+    E, N = lcc.forward(-96.0, 28.5)
+    assert abs(E - 2963503.91) < 0.01
+    assert abs(N - 254759.80) < 0.01
+    lon, lat = lcc.reverse(2963503.91, 254759.80)
+    assert abs(lon - (-96.0)) < 1e-7
+    assert abs(lat - 28.5) < 1e-7
+
+
+def test_lcc_1sp_epsg_worked_example():
+    """EPSG Guidance Note 7-2 §3.1.1.2 worked example: Jamaica 1969 / Jamaica
+    National Grid (Clarke 1866, metres). Published: (17°55'55.80"N,
+    76°56'37.26"W) -> E=255966.58, N=142493.51."""
+    lcc = crs_mod._LambertConformal(
+        6378206.400, 294.97870, lat0=18.0, lon0=-77.0, fe=250000.0, fn_=150000.0, k0=1.0,
+    )
+    E, N = lcc.forward(-(76 + 56 / 60 + 37.26 / 3600), 17 + 55 / 60 + 55.80 / 3600)
+    assert abs(E - 255966.58) < 0.01
+    assert abs(N - 142493.51) < 0.01
+
+
+def test_tm_lat0_epsg_worked_example():
+    """EPSG Guidance Note 7-2 TM worked example: OSGB36 / British National
+    Grid (Airy 1830, lat0=49N). Published: (50°30'N, 0°30'E OSGB36) ->
+    E=577274.99, N=69740.50 (GN rounds 1/f; allow 2 cm)."""
+    E, N = crs_mod._tm_forward(
+        0.5, 50.5, lon0=-2.0, k0=0.9996012717, fe=400000.0, fn_=-100000.0,
+        a=6377563.396, f=1 / 299.3249646, lat0=49.0,
+    )
+    assert abs(E - 577274.99) < 0.02
+    assert abs(N - 69740.50) < 0.02
+
+
+def test_osgb_epsg27700_datum_and_roundtrip():
+    c = crs_mod.CRS.from_epsg(27700)
+    lon, lat = -0.1276, 51.5072  # London, WGS84
+    E, N = c.from_lonlat(lon, lat)
+    lon2, lat2 = c.to_lonlat(E, N)
+    # 2D datum round-trips drop the ellipsoidal height, which perturbs the
+    # Helmert rotation/scale terms at the ~1 mm level (OSGB carries a large
+    # -20.5 ppm scale term) — pyproj's 2D towgs84 transforms behave the same
+    assert abs(lon - lon2) < 2e-8 and abs(lat - lat2) < 2e-8
+    # the OSGB36<->WGS84 datum shift is ~100 m in Britain: projecting WITHOUT
+    # the Helmert must land elsewhere by that order
+    E0, N0 = crs_mod._tm_forward(lon, lat, lon0=-2.0, k0=0.9996012717, fe=400000.0,
+                                 fn_=-100000.0, a=6377563.396, f=1 / 299.3249646, lat0=49.0)
+    shift = np.hypot(E - E0, N - N0)
+    assert 70 < shift < 140
+
+
+def test_etrs89_utm_matches_wgs84_utm():
+    """ETRS89/UTM (EPSG 258xx): the ETRS89<->WGS84 transformation is the null
+    transformation (EPSG:1149) and GRS80 vs WGS84 flattening differs at the
+    0.1 mm level, so ETRS89/UTM 32N must agree with WGS84/UTM 32N to <1 mm
+    (the latter is golden-tested against pyproj)."""
+    lon = np.array([6.5, 9.0, 11.9])
+    lat = np.array([47.2, 52.0, 58.8])
+    c_etrs = crs_mod.CRS.from_epsg(25832)
+    c_wgs = crs_mod.CRS.from_epsg(32632)
+    E1, N1 = c_etrs.from_lonlat(lon, lat)
+    E2, N2 = c_wgs.from_lonlat(lon, lat)
+    assert np.abs(E1 - E2).max() < 1e-3
+    assert np.abs(N1 - N2).max() < 1e-3
+    lon2, lat2 = c_etrs.to_lonlat(E1, N1)
+    assert np.allclose(lon, lon2, atol=1e-11) and np.allclose(lat, lat2, atol=1e-11)
+    # full advertised ranges resolve
+    for code in (25828, 25838, 26901, 26923, 28348, 28358):
+        assert crs_mod.CRS.from_epsg(code).epsg == code
+
+
+def test_lambert93_origin_and_roundtrip():
+    c = crs_mod.CRS.from_epsg(2154)
+    E, N = c.from_lonlat(3.0, 46.5)  # natural origin maps to (FE, FN) exactly
+    assert abs(E - 700000.0) < 1e-6
+    assert abs(N - 6600000.0) < 1e-6
+    lon = np.array([2.3522, -1.5536, 7.75])
+    lat = np.array([48.8566, 47.2184, 48.58])
+    E, N = c.from_lonlat(lon, lat)
+    lon2, lat2 = c.to_lonlat(E, N)
+    assert np.allclose(lon, lon2, atol=1e-11) and np.allclose(lat, lat2, atol=1e-11)
+    assert (E > 0).all() and (N > 6000000).all()  # French territory sanity
+
+
+def test_belgian_lambert72_roundtrip_and_datum():
+    c = crs_mod.CRS.from_epsg(31370)
+    lon, lat = 4.3517, 50.8466  # Brussels, WGS84
+    E, N = c.from_lonlat(lon, lat)
+    assert 145000 < E < 155000 and 165000 < N < 175000
+    lon2, lat2 = c.to_lonlat(E, N)
+    assert abs(lon - lon2) < 1e-8 and abs(lat - lat2) < 1e-8  # see OSGB note
+    # the BD72 Helmert shift is ~100 m over Belgium
+    c_nodatum = crs_mod.CRS(lcc=c.lcc, ellipsoid=c.ellipsoid)
+    E0, N0 = c_nodatum.from_lonlat(lon, lat)
+    shift = np.hypot(E - E0, N - N0)
+    assert 50 < shift < 200
+
+
+def test_new_crs_wkt_roundtrip():
+    """to_wkt() output must parse back to an equal CRS for every new family
+    (the CameraConfig JSON stores the CRS as this WKT)."""
+    for code in (2154, 31370, 27700, 25832, 26910, 28355, 28992):
+        c = crs_mod.CRS.from_epsg(code)
+        w = c.to_wkt()
+        c2 = crs_mod.CRS.from_user_input(w)
+        assert c2.epsg == code
+        assert c2 == c, f"EPSG:{code} WKT round-trip broke equality"
+
+
+def test_lcc_wkt_without_authority_parses_parameters():
+    """A WKT1 LCC string with no EPSG id must parse from its parameters alone."""
+    c = crs_mod.CRS.from_epsg(2154)
+    wkt = c.to_wkt().replace(',AUTHORITY["EPSG","2154"]', "")
+    c2 = crs_mod.CRS.from_user_input(wkt)
+    assert c2.epsg is None and c2.lcc is not None
+    E1, N1 = c.from_lonlat(5.0, 45.0)
+    E2, N2 = c2.from_lonlat(5.0, 45.0)
+    assert abs(E1 - E2) < 1e-6 and abs(N1 - N2) < 1e-6
+
+
+def test_camera_config_roundtrip_in_etrs89_utm(tmp_path):
+    """Geul-style camera config built in ETRS89/UTM 31N (EPSG:25831): GCPs
+    reprojected from RD New on ingest, JSON round-trip preserves the CRS, and
+    the bbox agrees with the RD-New config's bbox reprojected."""
+    import json
+
+    import pyorc_tpu
+
+    with open("/root/reference/examples/geul/dk_cam_config.json") as f:
+        ref = json.load(f)
+    gcps = {k: ref["gcps"][k] for k in ("src", "dst", "z_0", "h_ref")}
+    gcps["crs"] = 28992  # dst is in RD New; constructor reprojects to 25831
+    cc = pyorc_tpu.CameraConfig(
+        height=ref["height"], width=ref["width"], crs=25831, gcps=gcps,
+        camera_matrix=ref["camera_matrix"], dist_coeffs=ref["dist_coeffs"],
+        resolution=ref["resolution"], window_size=ref["window_size"],
+    )
+    dst = np.asarray(cc.gcps["dst"])
+    x_rd = np.asarray([p[0] for p in ref["gcps"]["dst"]])
+    y_rd = np.asarray([p[1] for p in ref["gcps"]["dst"]])
+    x_utm, y_utm = crs_mod.transform_points(28992, 25831, x_rd, y_rd)
+    assert np.abs(dst[:, 0] - x_utm).max() < 1e-6
+    assert np.abs(dst[:, 1] - y_utm).max() < 1e-6
+    cc.set_bbox_from_corners([[540, 520], [700, 420], [1200, 500], [1000, 750]])
+    fn = tmp_path / "cam_25831.json"
+    cc.to_file(str(fn))
+    cc2 = pyorc_tpu.load_camera_config(str(fn))
+    assert crs_mod.CRS.from_user_input(cc2.crs).epsg == 25831
+    b1 = np.asarray(cc.get_bbox().exterior.coords)
+    b2 = np.asarray(cc2.get_bbox().exterior.coords)
+    assert np.abs(b1 - b2).max() < 1e-6
+    lon, lat = crs_mod.transform_points(25831, 4326, b2[:, 0], b2[:, 1])
+    assert np.all((lon > 5.8) & (lon < 6.0))  # Geul valley
+    assert np.all((lat > 50.7) & (lat < 50.9))
+
+
 def test_affine_roundtrip():
     # rotated equal-resolution grid transform (dy_col == dx_row as the pipeline produces)
     theta = 0.3

@@ -5,19 +5,20 @@ outputs, 06 renders its own synthetic scene. 01/02/05 decode real video
 (minutes on the single-core CI host) and are exercised manually.
 """
 
+import os
 import runpy
 import sys
 
 import pytest
 
-EXAMPLES = "examples"
+EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
 
 
 def _run(script, *argv):
     old = sys.argv
     sys.argv = [script, *argv]
     try:
-        runpy.run_path(f"{EXAMPLES}/{script}", run_name="__main__")
+        runpy.run_path(os.path.join(EXAMPLES, script), run_name="__main__")
     finally:
         sys.argv = old
 

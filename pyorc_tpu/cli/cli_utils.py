@@ -212,7 +212,7 @@ def validate_dst(value):
 
 def validate_recipe(recipe):
     """Validate recipe sections/methods against API signatures. Reference cli_utils.py:425-475."""
-    valid_classes = ["video", "water_level", "frames", "velocimetry", "mask", "transect", "plot"]
+    valid_classes = ["video", "water_level", "frames", "velocimetry", "mask", "transect", "stiv", "plot"]
     required_classes = ["video", "frames", "velocimetry"]
     check_args = {"video": "video", "frames": "frames"}
     process_methods = ["write"]

@@ -89,38 +89,53 @@ def _box_smooth_1d(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
     return (top - bot) / size
 
 
-def _sti_orientation(sti: jnp.ndarray, window: int):
+def _sti_orientation(sti: jnp.ndarray, window: int, valid: Optional[jnp.ndarray] = None):
     """Structure-tensor streak slope m [samples/frame] and coherence.
 
     Callers must have removed the static background already (see
     :func:`sti_velocity`): subtracting the temporal mean AFTER de-shearing
     would delete the (now near-vertical) signal streaks themselves.
+
+    ``valid`` ([n_lines, T, L] in {0,1}) weights the tensor averaging so
+    positions the de-shear resampled from outside the line (edge-clamped,
+    pure artifact) contribute nothing; where fewer than half the samples in
+    an averaging region are genuine, m is NaN and coherence 0.
     """
     gt = jnp.gradient(sti, axis=-2)
     gx = jnp.gradient(sti, axis=-1)
-    jtt = gt * gt
-    jxx = gx * gx
-    jtx = gt * gx
+    w = jnp.ones_like(sti) if valid is None else valid
+    jtt = gt * gt * w
+    jxx = gx * gx * w
+    jtx = gt * gx * w
     if window and window > 0:
         red = lambda a: _box_smooth_1d(jnp.mean(a, axis=-2), int(window), axis=-1)
     else:
         red = lambda a: jnp.mean(a, axis=(-2, -1))
-    jtt, jxx, jtx = red(jtt), red(jxx), red(jtx)
+    frac = red(w)
+    jtt, jxx, jtx = red(jtt) / jnp.maximum(frac, 1e-6), red(jxx) / jnp.maximum(frac, 1e-6), red(jtx) / jnp.maximum(frac, 1e-6)
     # streak angle: the large-eigenvalue direction of J is the gradient
     # normal; the streak is perpendicular. phi measured from the t axis.
     phi = 0.5 * jnp.arctan2(2.0 * jtx, jtt - jxx) + jnp.pi / 2
     m = jnp.tan(phi)
     trace = jtt + jxx
-    coherence = jnp.sqrt((jtt - jxx) ** 2 + 4.0 * jtx**2) / jnp.maximum(trace, 1e-12)
-    m = jnp.where(trace > 1e-12, m, jnp.nan)
+    ok = (trace > 1e-12) & (frac >= 0.5)
+    coherence = jnp.where(
+        ok, jnp.sqrt((jtt - jxx) ** 2 + 4.0 * jtx**2) / jnp.maximum(trace, 1e-12), 0.0
+    )
+    m = jnp.where(ok, m, jnp.nan)
     return m, coherence
 
 
-def _shear_sti(sti: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+def _shear_sti(sti: jnp.ndarray, m: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Resample each STI along x' = x + m * (t - T/2) (bilinear, edge clamp).
 
     With m equal to the true streak slope the sheared STI's streaks become
     vertical (slope 0), where the gradient-tensor estimator is unbiased.
+
+    Also returns a {0,1} validity mask: positions whose source column fell
+    outside the line are edge-clamped copies, not data, and must not feed
+    the orientation tensor (they otherwise fabricate steep fake streaks at
+    the line ends — the larger |m|, the wider the contaminated margin).
     """
     n_lines, t_len, l_len = sti.shape
     tt = jnp.arange(t_len, dtype=jnp.float32) - (t_len - 1) / 2.0
@@ -129,7 +144,9 @@ def _shear_sti(sti: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
 
     def one(img, mk):
         cols = xx[None, :] + mk * tt[:, None]
-        return jax.scipy.ndimage.map_coordinates(img, [rows, cols], order=1, mode="nearest")
+        out = jax.scipy.ndimage.map_coordinates(img, [rows, cols], order=1, mode="nearest")
+        valid = ((cols >= 0.0) & (cols <= l_len - 1.0)).astype(jnp.float32)
+        return out, valid
 
     return jax.vmap(one)(sti, m)
 
@@ -173,12 +190,12 @@ def sti_velocity(
     # de-sheared copies are resampled from this background-free image
     sti = sti - jnp.mean(sti, axis=-2, keepdims=True)
     m_total = jnp.zeros(sti.shape[0], dtype=jnp.float32)
-    cur = sti
+    cur, valid = sti, None
     for _ in range(max(int(refine), 0)):
-        m_k, _ = _sti_orientation(cur, 0)
+        m_k, _ = _sti_orientation(cur, 0, valid)
         m_total = m_total + jnp.nan_to_num(m_k)
-        cur = _shear_sti(sti, m_total)
-    m_res, coherence = _sti_orientation(cur, int(window))
+        cur, valid = _shear_sti(sti, m_total)
+    m_res, coherence = _sti_orientation(cur, int(window), valid)
     if window and window > 0:
         m = m_total[:, None] + m_res
     else:

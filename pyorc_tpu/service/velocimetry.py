@@ -33,8 +33,9 @@ import click
 import numpy as np
 import yaml
 
-from .. import const, ndx
+from .. import const, helpers, ndx
 from ..api import CameraConfig, CrossSection, Video
+from ..api.cameraconfig import xyz_transform
 from ..cli import cli_utils
 
 __all__ = ["velocity_flow", "velocity_flow_subprocess", "VelocityFlowProcessor", "get_water_level"]
@@ -229,6 +230,7 @@ PIPELINE: List[StageSpec] = [
         config_keys=("transect",),
         tracked_files=("fn_piv_mask",),
     ),
+    StageSpec("stiv", recipe_key="stiv", optional=True),
     StageSpec(
         "plot",
         recipe_key="plot",
@@ -488,6 +490,75 @@ class VelocityFlowProcessor:
                 fn = os.path.abspath(self.fn_transect_template(name))
                 ds.to_netcdf(fn)
                 self.logger.info(f"transect {name} -> {fn}")
+
+    def stiv(self, write=False, **stiv_groups):
+        """Space-Time Image Velocimetry groups (beyond-reference capability;
+        the reference lists STIV as wished-for, reference ``README.md:22``).
+
+        Each group names either explicit ``centers`` (projected-local metres,
+        with a mandatory ``angle`` in radians from +x toward +y) or a
+        ``shapefile``/``geojson`` line in CRS coordinates, which is resampled
+        every ``distance`` metres (default: ``length``); the flow direction
+        then defaults to the line's local perpendicular (to the right when
+        walking the line) unless ``angle`` overrides it. Remaining keys pass
+        through to :meth:`Frames.get_stiv` (length, n_samples, window,
+        refine, min_coherence).
+        """
+        from ..geom import affine as aff
+
+        self.stivs = {}
+        frames = self.da_frames
+        x = frames["x"].values
+        y = frames["y"].values
+        for name, group in copy.deepcopy(stiv_groups).items():
+            group = group or {}
+            if "length" not in group:
+                raise click.UsageError(f'STIV group "{name}" needs a "length" entry (metres).')
+            angle = group.pop("angle", None)
+            if "centers" in group:
+                centers = np.atleast_2d(np.asarray(group.pop("centers"), dtype=np.float64))
+                if angle is None:
+                    raise click.UsageError(
+                        f'STIV group "{name}" gives explicit centers and must also give "angle".'
+                    )
+            else:
+                source = group.pop("geojson", None) or group.pop("shapefile", None)
+                if source is None:
+                    raise click.UsageError(
+                        f'STIV group "{name}" needs "centers", "shapefile" or "geojson".'
+                    )
+                if isinstance(source, dict):
+                    coords, crs = cli_utils.read_shape(geojson=source)
+                else:
+                    coords, crs = cli_utils.read_shape(fn=source)
+                xs = np.asarray([c[0] for c in coords], dtype=np.float64)
+                ys = np.asarray([c[1] for c in coords], dtype=np.float64)
+                if crs is not None and getattr(self.cam_config, "crs", None) is not None:
+                    from ..geom import crs as crs_mod
+
+                    pts = xyz_transform(
+                        list(zip(xs, ys)), crs, crs_mod.CRS.from_user_input(self.cam_config.crs)
+                    )
+                    xs = np.asarray([p[0] for p in pts])
+                    ys = np.asarray([p[1] for p in pts])
+                distance = group.pop("distance", None) or float(group["length"])
+                xs, ys, _ = helpers.xy_equidistant(xs, ys, distance)
+                rows, cols = aff.map_to_pixel_float(xs, ys, self.cam_config.transform)
+                cx = x[0] + cols * (x[1] - x[0])
+                cy = y[0] + rows * (y[1] - y[0])
+                centers = np.stack([cx, cy], axis=1)
+                if angle is None:
+                    direction = np.arctan2(cy[-1] - cy[0], cx[-1] - cx[0])
+                    angle = float(direction - np.pi / 2)
+            self.logger.debug(f"STIV group {name}: {len(centers)} lines, angle {angle:.3f} rad")
+            ds = frames.frames.get_stiv(centers, angle=float(angle), **group)
+            self.stivs[name] = ds
+            n_ok = int(np.isfinite(np.asarray(ds["v"].values)).sum())
+            self.logger.info(f"STIV {name}: {n_ok} finite velocities over {len(centers)} lines")
+            if write:
+                fn = os.path.abspath(os.path.join(self.output, self.prefix + f"stiv_{name}.nc"))
+                ds.to_netcdf(fn)
+                self.logger.info(f"STIV {name} -> {fn}")
 
     def plot(self, **plot_recipes):
         for name, params in copy.deepcopy(plot_recipes).items():

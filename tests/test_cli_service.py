@@ -77,6 +77,11 @@ def recipe_dict(cross_geojson):
                 "get_river_flow": None,
             },
         },
+        # beyond-reference: STIV search lines along the same cross-section
+        "stiv": {
+            "write": True,
+            "stiv_1": {"shapefile": cross_geojson, "length": 2.0, "distance": 1.0},
+        },
     }
 
 
@@ -138,6 +143,21 @@ def test_service_outputs(service_output):
     cache = os.listdir(os.path.join(service_output, ".pyorc"))
     assert any(f.endswith(".hash") for f in cache)
     assert "velocimetry.yml" in cache
+
+
+def test_service_stiv_output(service_output):
+    """The stiv recipe section produces a netCDF with v + coherence per line."""
+    import pyorc_tpu
+
+    fn = os.path.join(service_output, "stiv_stiv_1.nc")
+    assert os.path.isfile(fn)
+    ds = pyorc_tpu.open_dataset(fn)
+    assert "v" in ds and "coherence" in ds
+    v = np.asarray(ds["v"].values)
+    coh = np.asarray(ds["coherence"].values)
+    assert v.ndim == 1 and len(v) >= 3  # one line per `distance` along the section
+    assert np.isfinite(coh).all() and (coh >= 0).all() and (coh <= 1).all()
+    assert np.isfinite(v).any()  # the stream carries real streak signal
 
 
 def test_service_update_skips(service_output, recipe_dict, capsys):

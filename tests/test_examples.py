@@ -37,3 +37,8 @@ def test_example_04_cross_section_discharge(tmp_path):
 @pytest.mark.filterwarnings("ignore::UserWarning")
 def test_example_06_water_level():
     _run("06_water_level_optical.py")
+
+
+def test_example_07_stiv(capsys):
+    _run("07_stiv_velocimetry.py")
+    assert "STIV example OK" in capsys.readouterr().out

@@ -58,16 +58,55 @@ def _r2(op, x):
     return op(op(x, axis=-1, keepdims=True), axis=-2, keepdims=True)
 
 
+def _demean_one(band, wy, wx, step_x, c0, cnt, n_cols):
+    """Build + demean one frame's window chunk; returns (a, sa, valid_a)."""
+    wa = _band_windows(band, c0, cnt, wx, step_x, n_cols).astype(jnp.float32)
+    a = wa - _r2(jnp.mean, wa)
+    sa = jnp.sqrt(_r2(jnp.mean, a * a))  # [cnt,1,1]
+    return a, sa, sa > 1e-6
+
+
 def _demean(band_a, band_b, wy, wx, step_x, c0, cnt, n_cols):
     """Build + demean window chunks; returns (a, b, sa, sb, valid)."""
-    wa = _band_windows(band_a, c0, cnt, wx, step_x, n_cols).astype(jnp.float32)
-    wb = _band_windows(band_b, c0, cnt, wx, step_x, n_cols).astype(jnp.float32)
-    a = wa - _r2(jnp.mean, wa)
-    b = wb - _r2(jnp.mean, wb)
-    sa = jnp.sqrt(_r2(jnp.mean, a * a))  # [cnt,1,1]
-    sb = jnp.sqrt(_r2(jnp.mean, b * b))
-    valid = (sa > 1e-6) & (sb > 1e-6)
-    return a, b, sa, sb, valid
+    a, sa, va = _demean_one(band_a, wy, wx, step_x, c0, cnt, n_cols)
+    b, sb, vb = _demean_one(band_b, wy, wx, step_x, c0, cnt, n_cols)
+    return a, b, sa, sb, va & vb
+
+
+def _mmT(x):
+    return jnp.swapaxes(x, -1, -2)
+
+
+def _mm(v, m):
+    # batched right-multiply (flattening the batch into rows measured
+    # neutral-to-worse: the reshape relayout cancels the pipeline gain)
+    return jnp.matmul(v, m, preferred_element_type=jnp.float32)
+
+
+def _dft2t_fwd(v, cxt, sxt, cyT, syT):
+    """Forward transposed 2-D DFT: v -> (at_re, at_im) with At = (Fy v FxT)^T.
+
+    Split from the inverse so the multi-pair kernel can compute each frame's
+    spectra ONCE and reuse them for both pairs that touch the frame."""
+    p_ = _mm(v, cxt)
+    q_ = _mm(v, sxt)
+    pt = _mmT(p_)
+    qt = _mmT(q_)
+    at_re = _mm(pt, cyT) - _mm(qt, syT)
+    at_im = _mm(pt, syT) + _mm(qt, cyT)
+    return at_re, at_im
+
+
+def _corr_from_spectra(at_re, at_im, bt_re, bt_im, icxt, isxt, icyT, isyT):
+    """conj(A)*B spectral product + inverse transposed 2-D DFT -> raw corr."""
+    st_re = at_re * bt_re + at_im * bt_im
+    st_im = at_re * bt_im - at_im * bt_re
+    # inverse: corr = (1/N) Re(conj(Fy) S conj(Fx)^T) with S = T(St)
+    st_re_t = _mmT(st_re)
+    st_im_t = _mmT(st_im)
+    v_re = _mm(st_re_t, icxt) + _mm(st_im_t, isxt)
+    v_im = _mm(st_im_t, icxt) - _mm(st_re_t, isxt)
+    return _mmT(_mm(_mmT(v_re), icyT) + _mm(_mmT(v_im), isyT))
 
 
 def _corr_raw_transposed(a, b, cxt, sxt, cyT, syT, icxt, isxt, icyT, isyT):
@@ -81,33 +120,9 @@ def _corr_raw_transposed(a, b, cxt, sxt, cyT, syT, icxt, isxt, icyT, isyT):
     fftshift into the transform (used by the packed path, where a plain
     pltpu.roll would mix packed windows).
     """
-    T = lambda x: jnp.swapaxes(x, -1, -2)
-
-    def mm(v, m):
-        # batched right-multiply (flattening the batch into rows measured
-        # neutral-to-worse: the reshape relayout cancels the pipeline gain)
-        return jnp.matmul(v, m, preferred_element_type=jnp.float32)
-
-    def dft2t(v):
-        p_ = mm(v, cxt)
-        q_ = mm(v, sxt)
-        pt = T(p_)
-        qt = T(q_)
-        at_re = mm(pt, cyT) - mm(qt, syT)
-        at_im = mm(pt, syT) + mm(qt, cyT)
-        return at_re, at_im
-
-    at_re, at_im = dft2t(a)
-    bt_re, bt_im = dft2t(b)
-    # conj(A) * B, elementwise (commutes with transposition)
-    st_re = at_re * bt_re + at_im * bt_im
-    st_im = at_re * bt_im - at_im * bt_re
-    # inverse: corr = (1/N) Re(conj(Fy) S conj(Fx)^T) with S = T(St)
-    st_re_t = T(st_re)
-    st_im_t = T(st_im)
-    v_re = mm(st_re_t, icxt) + mm(st_im_t, isxt)
-    v_im = mm(st_im_t, icxt) - mm(st_re_t, isxt)
-    return T(mm(T(v_re), icyT) + mm(T(v_im), isyT))
+    at_re, at_im = _dft2t_fwd(a, cxt, sxt, cyT, syT)
+    bt_re, bt_im = _dft2t_fwd(b, cxt, sxt, cyT, syT)
+    return _corr_from_spectra(at_re, at_im, bt_re, bt_im, icxt, isxt, icyT, isyT)
 
 
 def _pack_windows(w, p, wy, wx):
@@ -134,39 +149,6 @@ def _unpack_windows(c4, p, wy, wx, cnt):
         for c in range(p)
     ]
     return jnp.concatenate(quads, axis=0)
-
-
-def _band_results(band_a, band_b, cy, sy, cxt, sxt, wy, wx, step_x, c0, cnt, n_cols):
-    """Correlate windows [c0, c0+cnt) of one row band; returns (u, v, cmax, s2n) [cnt, 1].
-
-    NB: every intermediate stays rank>=2 (keepdims reductions) — Mosaic's
-    vector layout inference rejects rank-1 values.
-    """
-    a, b, sa, sb, valid = _demean(band_a, band_b, wy, wx, step_x, c0, cnt, n_cols)
-    cyT = jnp.swapaxes(cy, 0, 1)
-    syT = jnp.swapaxes(sy, 0, 1)
-    corr = _corr_raw_transposed(a, b, cxt, sxt, cyT, syT, cxt, sxt, cyT, syT)
-    # fftshift both axes
-    corr = pltpu.roll(corr, wy // 2, 1)
-    corr = pltpu.roll(corr, wx // 2, 2)
-    return _finish_corr(corr, sa, sb, valid, wy, wx)
-
-
-def _band_results_packed(band_a, band_b, pm, wy, wx, step_x, c0, cnt, p, n_cols):
-    """Packed-MXU variant: p x p windows share each [p*wy, p*wx] tile, so the
-    DFT matmuls run at (up to) full 128-lane width (a [64,64] matmul only uses
-    a quarter of the MXU; a [16,16] one 1/64th). The fftshift is folded into
-    row-rolled inverse matrices; per-window stats unpack via static slices
-    afterwards. ``cnt`` must be a multiple of p*p (callers clamp-pad).
-    """
-    a, b, sa, sb, valid = _demean(band_a, band_b, wy, wx, step_x, c0, cnt, n_cols)
-    a4 = _pack_windows(a, p, wy, wx)
-    b4 = _pack_windows(b, p, wy, wx)
-    corr4 = _corr_raw_transposed(
-        a4, b4, pm[0], pm[1], pm[2], pm[3], pm[4], pm[5], pm[6], pm[7]
-    )
-    corr = _unpack_windows(corr4, p, wy, wx, cnt)
-    return _finish_corr(corr, sa, sb, valid, wy, wx)
 
 
 def _finish_corr(corr, sa, sb, valid, wy, wx):
@@ -225,7 +207,7 @@ def _finish_corr(corr, sa, sb, valid, wy, wx):
     return sq(u), sq(v), sq(cmax), sq(s2n), sq(valid.astype(jnp.float32))
 
 
-def _chunk_plan(n_cols: int, wy: int, wx: int, pack: int):
+def _chunk_plan(n_cols: int, wy: int, wx: int, pack: int, ppg: int = 1):
     """(col_chunk, temp_bytes): windows per call and the VMEM they cost.
 
     The live set per in-flight window is modeled as 8 lane-padded [wy, wx]
@@ -238,8 +220,16 @@ def _chunk_plan(n_cols: int, wy: int, wx: int, pack: int):
     error.
     """
     g = pack * pack
-    per_win = 8 * (-(-wy // 8) * 8) * 128 * 4
-    cols = max(int((9 << 20) // per_win), 1)
+    if ppg <= 1:
+        per_win = 8 * (-(-wy // 8) * 8) * 128 * 4
+        budget = 9 << 20
+    else:
+        # live set per window column: 2*(ppg+1) spectra planes (packed dense —
+        # p*wx fills the 128 lanes) + ~8 inverse/product temporaries + one
+        # frame's lane-padded window build
+        per_win = (2 * (ppg + 1) + 8) * wy * wx * 4 + wy * 128 * 4
+        budget = 7 << 20
+    cols = max(int(budget // per_win), 1)
     cols = max(cols // g * g, g) if g > 1 else min(cols, 24)
     cols = min(cols, -(-n_cols // g) * g if g > 1 else n_cols)
     return cols, cols * per_win
@@ -257,10 +247,8 @@ def _kernel(
     v_ref,
     cmax_ref,
     s2n_ref,
-    band_a,  # VMEM scratch [2, band_h, W] (double buffer)
-    band_b,
-    sem_a,
-    sem_b,
+    bands,  # VMEM scratch [2, ppg+1, band_h, W] (double buffer x frames)
+    sems,  # DMA semaphores [2, ppg+1]
     *,
     wy: int,
     wx: int,
@@ -272,15 +260,24 @@ def _kernel(
     band_h: int,  # DMA height: wy (+ alignment slack for odd step_y), round8
     col_chunk: int,
     pair_stride: int,  # 1: consecutive frames; 2: interleaved (a0,b0,a1,b1..)
+    ppg: int,  # pairs per grid step (consecutive pairs share frames; >1
+    # requires pair_stride == 1). Each grid step streams ppg+1 frame
+    # bands instead of 2*ppg and computes each shared frame's window
+    # build + demean + forward DFT ONCE — the forward transform is 12
+    # of the 18 matmul stages, so sharing cuts matmul FLOPs/pair by up
+    # to a third and window-build issue traffic by up to half.
 ):
-    pair = pl.program_id(0) * pair_stride
+    base = pl.program_id(0) * ppg * pair_stride  # first frame of this step
     band0 = b0_ref[0]
     cy = cy_ref[:]
     sy = sy_ref[:]
     cxt = cx_ref[:].T
     sxt = sx_ref[:].T
+    cyT = jnp.swapaxes(cy, 0, 1)
+    syT = jnp.swapaxes(sy, 0, 1)
     pm = pm_ref[:] if pack > 1 else None
     aligned = step_y % 8 == 0
+    n_frames = ppg + 1
 
     # Odd step_y (e.g. the 26/13 grid from window_size 25): the DMA starts at
     # the aligned-down row 8*floor(r0/8) — provably divisible by the 8-sublane
@@ -290,11 +287,10 @@ def _kernel(
         r0 = (band0 + band_idx) * step_y
         return r0, (r0 if aligned else 8 * (r0 // 8))
 
-    def get_dma(slot, band_idx):
+    def get_dma(slot, f, band_idx):
         _, r0a = row0(band_idx)
-        return (
-            pltpu.make_async_copy(frames_hbm.at[pair, pl.ds(r0a, band_h), :], band_a.at[slot], sem_a.at[slot]),
-            pltpu.make_async_copy(frames_hbm.at[pair + 1, pl.ds(r0a, band_h), :], band_b.at[slot], sem_b.at[slot]),
+        return pltpu.make_async_copy(
+            frames_hbm.at[base + f, pl.ds(r0a, band_h), :], bands.at[slot, f], sems.at[slot, f]
         )
 
     def extract_band(buf, band_idx):
@@ -304,9 +300,8 @@ def _kernel(
         rolled = pltpu.roll(buf, band_h - (r0 - r0a), 0)
         return jax.lax.slice_in_dim(rolled, 0, wy, axis=0)
 
-    da0, db0 = get_dma(0, 0)
-    da0.start()
-    db0.start()
+    for f in range(n_frames):
+        get_dma(0, f, 0).start()
     g = pack * pack
 
     def loop_body(band_idx, _):
@@ -315,54 +310,66 @@ def _kernel(
 
         @pl.when(band_idx + 1 < n_rows)
         def _():
-            da, db = get_dma(nxt, band_idx + 1)
-            da.start()
-            db.start()
+            for f in range(n_frames):
+                get_dma(nxt, f, band_idx + 1).start()
 
-        da, db = get_dma(slot, band_idx)
-        da.wait()
-        db.wait()
-        ba = extract_band(band_a[slot], band_idx)
-        bb = extract_band(band_b[slot], band_idx)
-        row_parts = []
+        for f in range(n_frames):
+            get_dma(slot, f, band_idx).wait()
+        bds = [extract_band(bands[slot, f], band_idx) for f in range(n_frames)]
+        row_parts = [[] for _ in range(ppg)]
         for c0 in range(0, n_cols, col_chunk):
             cnt = min(col_chunk, n_cols - c0)
-            if pack > 1:
-                # clamp-pad up to the packing group; duplicates discarded below
-                cnt_pad = -(-cnt // g) * g
-                u, v, cmax, s2n, validf = _band_results_packed(
-                    ba, bb, pm, wy, wx, step_x, c0, cnt_pad, pack, n_cols
-                )
-            else:
-                cnt_pad = cnt
-                u, v, cmax, s2n, validf = _band_results(
-                    ba, bb, cy, sy, cxt, sxt, wy, wx, step_x, c0, cnt, n_cols
-                )
-            # transpose the [cnt, 5] result columns onto lanes with one MXU
-            # dot (outputs keep n_cols on the 128-lane axis: a [.., n_cols, 1]
-            # layout would pad every band's results to 128 lanes)
-            res = jnp.concatenate([u, v, cmax, s2n, validf], axis=1)  # [cnt_pad, 5]
-            eye = (
-                jax.lax.broadcasted_iota(jnp.int32, (cnt_pad, cnt_pad), 0)
-                == jax.lax.broadcasted_iota(jnp.int32, (cnt_pad, cnt_pad), 1)
-            ).astype(jnp.float32)
-            # HIGHEST: the transpose carries VALUES — default single-pass
-            # bf16 would round u/v through 8 mantissa bits
-            res_t = jax.lax.dot_general(
-                res, eye, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [5, cnt_pad]
-            row_parts.append(res_t[:, 0:cnt] if cnt_pad != cnt else res_t)
+            # clamp-pad up to the packing group; duplicates discarded below
+            cnt_pad = -(-cnt // g) * g if pack > 1 else cnt
+            # forward phase, ONCE per frame: windows -> demean -> spectra
+            fwd = []
+            for f in range(n_frames):
+                a, sa, va = _demean_one(bds[f], wy, wx, step_x, c0, cnt_pad, n_cols)
+                if pack > 1:
+                    a = _pack_windows(a, pack, wy, wx)
+                    sp = _dft2t_fwd(a, pm[0], pm[1], pm[2], pm[3])
+                else:
+                    sp = _dft2t_fwd(a, cxt, sxt, cyT, syT)
+                fwd.append((sp, sa, va))
+            for j in range(ppg):
+                (a_re, a_im), sa, va = fwd[j]
+                (b_re, b_im), sb, vb = fwd[j + 1]
+                if pack > 1:
+                    corr4 = _corr_from_spectra(a_re, a_im, b_re, b_im, pm[4], pm[5], pm[6], pm[7])
+                    corr = _unpack_windows(corr4, pack, wy, wx, cnt_pad)
+                else:
+                    corr = _corr_from_spectra(a_re, a_im, b_re, b_im, cxt, sxt, cyT, syT)
+                    # fftshift both axes (the packed path bakes it into pm[4:])
+                    corr = pltpu.roll(corr, wy // 2, 1)
+                    corr = pltpu.roll(corr, wx // 2, 2)
+                u, v, cmax, s2n, validf = _finish_corr(corr, sa, sb, va & vb, wy, wx)
+                # transpose the [cnt, 5] result columns onto lanes with one MXU
+                # dot (outputs keep n_cols on the 128-lane axis: a [.., n_cols, 1]
+                # layout would pad every band's results to 128 lanes)
+                res = jnp.concatenate([u, v, cmax, s2n, validf], axis=1)  # [cnt_pad, 5]
+                eye = (
+                    jax.lax.broadcasted_iota(jnp.int32, (cnt_pad, cnt_pad), 0)
+                    == jax.lax.broadcasted_iota(jnp.int32, (cnt_pad, cnt_pad), 1)
+                ).astype(jnp.float32)
+                # HIGHEST: the transpose carries VALUES — default single-pass
+                # bf16 would round u/v through 8 mantissa bits
+                res_t = jax.lax.dot_general(
+                    res, eye, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [5, cnt_pad]
+                row_parts[j].append(res_t[:, 0:cnt] if cnt_pad != cnt else res_t)
         # dynamic-sublane stores must span the block's full lane extent
         # (partial-width stores into multi-lane-tile rows are rejected), so
         # assemble the whole band row as a value and store it once per output
-        row = row_parts[0] if len(row_parts) == 1 else jnp.concatenate(row_parts, axis=1)
-        ok = row[4:5] > 0.5
         b = pl.ds(band_idx, 1)
-        u_ref[0, b, :] = jnp.where(ok, row[0:1], jnp.nan)
-        v_ref[0, b, :] = jnp.where(ok, row[1:2], jnp.nan)
-        cmax_ref[0, b, :] = row[2:3]
-        s2n_ref[0, b, :] = row[3:4]
+        for j in range(ppg):
+            parts = row_parts[j]
+            row = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+            ok = row[4:5] > 0.5
+            u_ref[j, b, :] = jnp.where(ok, row[0:1], jnp.nan)
+            v_ref[j, b, :] = jnp.where(ok, row[1:2], jnp.nan)
+            cmax_ref[j, b, :] = row[2:3]
+            s2n_ref[j, b, :] = row[3:4]
         return 0
 
     jax.lax.fori_loop(0, n_rows, loop_body, 0)
@@ -1201,28 +1208,40 @@ def piv_pairs_fused(
     # pad8(nb) * pad128(n_cols) * 4 bytes per output — every realistic config
     # (incl. 4K at 16 px) fits one launch; the strip split survives as a
     # safety net for degenerate geometries.
-    band_scratch = 4 * band_h * (-(-imgs.shape[-1] // 128) * 128) * 4
-    per_band = (-(-n_cols // 128) * 128) * 4 * 4  # 4 outputs, 1/8 sublane tile amortized
-    _, temp_bytes = _chunk_plan(n_cols, wy, wx, pack)
-    reserve = temp_bytes + 8 * (pack * wy) * (-(-(pack * wx) // 128) * 128) * 4
-    nb_max = max(int(((12 << 20) + (512 << 10) - band_scratch - reserve) // per_band), 4)
     imgs = jnp.asarray(imgs)
     last_err = None
-    bband = _tb_bband(wx, n_cols) if _tileband_ok(wy, wx, step_x, pack) else 1
+    tileband = _tileband_ok(wy, wx, step_x, pack)
+    bband = _tb_bband(wx, n_cols) if tileband else 1
+    # pair blocking (sliced path only): share each interior frame's window
+    # build + forward DFT between the two pairs that use it
+    n_pairs = imgs.shape[0] // pair_stride if pair_stride > 1 else imgs.shape[0] - 1
+    ppg = 4 if (pair_stride == 1 and not tileband and n_pairs >= 4) else 1
+    band_scratch = 2 * (ppg + 1) * band_h * (-(-imgs.shape[-1] // 128) * 128) * 4
+    # 4 outputs x ppg pair rows, 1/8 sublane tile amortized
+    per_band = (-(-n_cols // 128) * 128) * 4 * 4 * max(ppg, 1)
+    _, temp_bytes = _chunk_plan(n_cols, wy, wx, pack, ppg)
+    reserve = temp_bytes + 8 * (pack * wy) * (-(-(pack * wx) // 128) * 128) * 4
+    # ppg > 1's tighter per-window model keeps closer to the true live set, so
+    # it gets more of the 16MB scope; the vmem-retry ladder covers the rest
+    budget = ((14 << 20) if ppg > 1 else (12 << 20) + (512 << 10))
+    nb_max = max(int((budget - band_scratch - reserve) // per_band), 4)
     while nb_max >= 4:
         try:
             return _piv_pairs_fused_strips(
                 imgs, (wy, wx), (step_y, step_x), n_rows, n_cols, nb_max, bool(interpret),
-                int(pair_stride), bband,
+                int(pair_stride), bband, ppg,
             )
         except Exception as e:
             last_err = e
             msg = str(e)
             # the compiler's scoped-vmem accounting beats any host-side model;
-            # on overflow retry with fewer batched bands, then fewer bands
-            # per launch
+            # on overflow retry with fewer batched bands/pairs, then fewer
+            # bands per launch
             if "vmem" in msg.lower() and bband > 1:
                 bband //= 2
+                continue
+            if "vmem" in msg.lower() and ppg > 1:
+                ppg //= 2
                 continue
             if "vmem" in msg.lower() and nb_max > 4:
                 nb_max = max(nb_max // 2, 4)
@@ -1293,7 +1312,7 @@ def _tileband_ok(wy: int, wx: int, step_x: int, pack: int) -> bool:
 
 
 def _piv_pairs_fused_strips(
-    imgs, sas, steps, n_rows, n_cols, nb_max, interpret, pair_stride=1, bband=None
+    imgs, sas, steps, n_rows, n_cols, nb_max, interpret, pair_stride=1, bband=None, ppg=1
 ):
     # pad ONCE, globally: the band DMA needs the lane (width) extent to be a
     # multiple of the 128-lane tiling, the last band's buffer may read past
@@ -1309,7 +1328,7 @@ def _piv_pairs_fused_strips(
         jit_fn = functools.partial(_piv_pairs_tb_jit, bband=bband)
     else:
         bband = 1
-        jit_fn = _piv_pairs_fused_jit
+        jit_fn = functools.partial(_piv_pairs_fused_jit, ppg=ppg)
     # + (bband - 1) slack: each strip's band count pads up to a bband multiple
     # and the padded bands still DMA real rows
     rows_needed = (n_rows - 1 + (bband - 1)) * step_y + band_h
@@ -1346,33 +1365,42 @@ def _packed_mats(wy: int, wx: int, pack: int) -> np.ndarray:
     )
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 4, 5, 6, 7))
-def _piv_pairs_fused_jit(imgs, sas, steps, band0, nb, n_cols, interpret, pair_stride=1):
+@functools.partial(jax.jit, static_argnums=(1, 2, 4, 5, 6, 7, 8))
+def _piv_pairs_fused_jit(imgs, sas, steps, band0, nb, n_cols, interpret, pair_stride=1, ppg=1):
     wy, wx = sas
     step_y, step_x = steps
+    assert pair_stride == 1 or ppg == 1, "pair blocking shares frames; stride>1 pairs don't"
     t = imgs.shape[0]
     n_pairs = t // pair_stride if pair_stride > 1 else t - 1
     pack, band_h = _fused_plan(wy, wx, step_y)
-    col_chunk, _ = _chunk_plan(n_cols, wy, wx, pack)
+    col_chunk, _ = _chunk_plan(n_cols, wy, wx, pack, ppg)
     cy, sy = (jnp.asarray(m) for m in _dft_mats(wy))
     cx, sx = (jnp.asarray(m) for m in _dft_mats(wx))
     pm = jnp.asarray(_packed_mats(wy, wx, pack))
     # frames arrive pre-padded from _piv_pairs_fused_strips (width to the
-    # 128-lane tiling, height to cover the last band's buffer)
+    # 128-lane tiling, height to cover the last band's buffer); with ppg > 1
+    # also pad the PAIR axis so every grid step owns a full pair block (the
+    # duplicated last frame correlates with itself; results are sliced off)
+    n_steps = -(-n_pairs // ppg)
+    pad_t = n_steps * ppg + 1 - t if pair_stride == 1 else 0
+    if pad_t > 0:
+        imgs = jnp.concatenate([imgs, jnp.repeat(imgs[-1:], pad_t, axis=0)], axis=0)
     w_img = imgs.shape[-1]
     frames = imgs.astype(jnp.float32)
     sb0_arr = jnp.asarray(band0, dtype=jnp.int32).reshape(1)
 
     kernel = functools.partial(
         _kernel, wy=wy, wx=wx, step_y=step_y, step_x=step_x, n_rows=nb, n_cols=n_cols,
-        pack=pack, band_h=band_h, col_chunk=col_chunk, pair_stride=pair_stride,
+        pack=pack, band_h=band_h, col_chunk=col_chunk, pair_stride=pair_stride, ppg=ppg,
     )
-    out_shape = [jax.ShapeDtypeStruct((n_pairs, nb, n_cols), jnp.float32) for _ in range(4)]
-    out_spec = pl.BlockSpec((1, nb, n_cols), lambda p: (p, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((n_steps * ppg, nb, n_cols), jnp.float32) for _ in range(4)
+    ]
+    out_spec = pl.BlockSpec((ppg, nb, n_cols), lambda p: (p, 0, 0), memory_space=pltpu.VMEM)
     mat_spec = lambda n: pl.BlockSpec((n, n), lambda p: (0, 0), memory_space=pltpu.VMEM)
     u, v, cmax, s2n = pl.pallas_call(
         kernel,
-        grid=(n_pairs,),
+        grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # strip band offset (scalar)
             pl.BlockSpec(memory_space=pl.ANY),  # frames stay in HBM; DMA'd per band
@@ -1387,13 +1415,13 @@ def _piv_pairs_fused_jit(imgs, sas, steps, band0, nb, n_cols, interpret, pair_st
         out_specs=[out_spec] * 4,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, band_h, w_img), jnp.float32),
-            pltpu.VMEM((2, band_h, w_img), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, ppg + 1, band_h, w_img), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, ppg + 1)),
         ],
         interpret=interpret,
     )(sb0_arr, frames, cy, sy, cx, sx, pm)
+    if n_steps * ppg != n_pairs:
+        u, v, cmax, s2n = (x[:n_pairs] for x in (u, v, cmax, s2n))
     return u, v, cmax, s2n
 
 

@@ -265,6 +265,29 @@ def test_fused_small_windows_match_xla(rng, sas, dims):
     assert np.allclose(out_x[3], out_f[3], atol=0.15)  # s2n (ratio of tiny means)
 
 
+def test_fused_pair_blocking_matches_xla(rng):
+    """Pair-blocked fused kernel (ppg=4: shared forward DFTs across the pairs
+    touching each frame, incl. the ragged last block padded with a duplicated
+    frame) matches the XLA pipeline pair-for-pair at 64 px."""
+    from pyorc_tpu.ops import piv_pallas
+
+    img_a = make_particle_image(rng, 192, 320)
+    shifts = [(0, 0), (2.0, -1.0), (3.5, 1.25), (1.0, 2.0), (-2.5, 0.5), (0.75, -1.5)]
+    imgs = np.stack([shift_image(img_a, dx, dy) for dx, dy in shifts]).astype(np.float32)
+    h, w = img_a.shape
+    n_rows, n_cols = windows.get_field_shape((h, w), (64, 64), (32, 32))
+    out_x = [np.asarray(t) for t in piv.piv_pairs(imgs, (h, w), (64, 64), (32, 32), n_rows, n_cols, None, "matmul")]
+    out_f = [
+        np.asarray(t)
+        for t in piv_pallas.piv_pairs_fused(imgs, (h, w), (64, 64), (32, 32), n_rows, n_cols, interpret=True)
+    ]
+    assert out_f[0].shape == (len(shifts) - 1, n_rows, n_cols)  # padding sliced off
+    assert np.allclose(out_x[0], out_f[0], atol=1e-4, equal_nan=True)
+    assert np.allclose(out_x[1], out_f[1], atol=1e-4, equal_nan=True)
+    assert np.allclose(out_x[2], out_f[2], atol=1e-5)
+    assert np.allclose(out_x[3], out_f[3], atol=1e-3)
+
+
 def test_fused_unsupported_geometry_falls_back(rng):
     """Non-square sub-64px windows route to the XLA pipeline (identical results)."""
     from pyorc_tpu.ops import piv_pallas

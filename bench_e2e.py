@@ -9,7 +9,8 @@ pyorc_tpu/parallel) and is labeled as such.
 
 Environment caveats the numbers carry: this dev container exposes ONE cpu
 core (4K H.264 decode is ~4 fps/core; production hosts bring 32-96 cores and
-the GOP-parallel reader scales with them) and reaches the TPU through a
+the GOP-parallel reader scales with them — thread sweep measured by
+bench_decode.py -> DECODE_SCALING.json) and reaches the TPU through a
 tunnel that costs ~100 ms + limited bandwidth per transfer (production hosts
 sit on PCIe). The chip-bound PIV rate itself is measured separately by
 bench.py with on-device data.

@@ -154,8 +154,9 @@ def _unpack_windows(c4, p, wy, wx, cnt):
 def _finish_corr(corr, sa, sb, valid, wy, wx):
     """Normalize fftshifted planes and reduce to (u, v, cmax, s2n) [cnt, 1]."""
     n_pix = wy * wx
-    corr = corr / n_pix
-    denom = jnp.maximum(n_pix * sa * sb, 1e-10)
+    # one fused normalization pass: /n_pix and /denom merged into a single
+    # per-window scalar divide (two full-plane passes -> one)
+    denom = n_pix * jnp.maximum(n_pix * sa * sb, 1e-10)
     corr = corr / denom
     corr = jnp.maximum(corr, 0.0)
     corr = jnp.where(valid, corr, 0.0)
@@ -178,15 +179,26 @@ def _finish_corr(corr, sa, sb, valid, wy, wx):
     ix = first_lin - iy * wx
     iyc = jnp.clip(iy, 1.0, wy - 2.0)
     ixc = jnp.clip(ix, 1.0, wx - 2.0)
-    onehot = ((row_ids == iyc) & (col_ids == ixc)).astype(jnp.float32)
+
+    # 3x3 stencil via three row-stripe reductions instead of four full-plane
+    # rolls + five masked full-plane sums: each stripe sums exactly one
+    # (zero-masked) row of the plane, so every stencil value is the same
+    # single corr element bit-for-bit; the remaining masked sums run on
+    # [cnt, 1, wx] stripes. Fewer VPU passes AND four fewer live planes.
+    rsum = lambda m: jnp.sum(jnp.where(m, corr, 0.0), axis=1, keepdims=True)
+    stripe_c = rsum(row_ids == iyc)  # [cnt, 1, wx], row iyc of each plane
+    stripe_u = rsum(row_ids == iyc - 1.0)
+    stripe_d = rsum(row_ids == iyc + 1.0)
+    col_s = jax.lax.broadcasted_iota(jnp.int32, stripe_c.shape, 2).astype(jnp.float32)
+    ssum = lambda st, m: jnp.sum(jnp.where(m, st, 0.0), axis=-1, keepdims=True)
 
     eps = 1e-10
-    c0 = jnp.maximum(_r2(jnp.sum, onehot * corr), eps)
-    # neighbours via rolled planes (pltpu.roll shifts must be non-negative)
-    cl = jnp.maximum(_r2(jnp.sum, onehot * pltpu.roll(corr, 1, 2)), eps)
-    cr = jnp.maximum(_r2(jnp.sum, onehot * pltpu.roll(corr, wx - 1, 2)), eps)
-    cu = jnp.maximum(_r2(jnp.sum, onehot * pltpu.roll(corr, 1, 1)), eps)
-    cd = jnp.maximum(_r2(jnp.sum, onehot * pltpu.roll(corr, wy - 1, 1)), eps)
+    colm = col_s == ixc
+    c0 = jnp.maximum(ssum(stripe_c, colm), eps)
+    cl = jnp.maximum(ssum(stripe_c, col_s == ixc - 1.0), eps)
+    cr = jnp.maximum(ssum(stripe_c, col_s == ixc + 1.0), eps)
+    cu = jnp.maximum(ssum(stripe_u, colm), eps)
+    cd = jnp.maximum(ssum(stripe_d, colm), eps)
     log0 = jnp.log(c0)
 
     def safe_div(num, den):

@@ -1440,34 +1440,54 @@ def _piv_pairs_fused_jit(imgs, sas, steps, band0, nb, n_cols, interpret, pair_st
 # -- fused ensemble kernel -----------------------------------------------------
 
 
-def _ens_chunk(band_a, band_b, cy, sy, cxt, sxt, pm, wy, wx, step_x, c0, cnt, pack, n_cols):
-    """Normalized, clipped, fftshifted corr planes + per-window stats for one
-    column chunk: (corr [cnt, wy, wx], cmax [cnt,1,1], s2n [cnt,1,1]).
-    When pack > 1 the caller clamp-pads cnt to a multiple of pack**2 and
-    slices the duplicate results off afterwards."""
-    a, b, sa, sb, valid = _demean(band_a, band_b, wy, wx, step_x, c0, cnt, n_cols)
+def _ens_fwd_chunk(bandv, cy, sy, cxt, sxt, pm, wy, wx, step_x, c0, cnt, pack, n_cols):
+    """Forward phase for one frame band's column chunk: window build + demean
+    + forward DFT. Returns (re, im, sa, valid) — the cacheable per-frame
+    state the shared-forward ensemble path reuses for both pairs that touch
+    the frame (consecutive pairs share their interior frame)."""
+    a, sa, va = _demean_one(bandv, wy, wx, step_x, c0, cnt, n_cols)
     if pack > 1:
-        a4 = _pack_windows(a, pack, wy, wx)
-        b4 = _pack_windows(b, pack, wy, wx)
-        corr4 = _corr_raw_transposed(
-            a4, b4, pm[0], pm[1], pm[2], pm[3], pm[4], pm[5], pm[6], pm[7]
-        )
+        a = _pack_windows(a, pack, wy, wx)
+        re, im = _dft2t_fwd(a, pm[0], pm[1], pm[2], pm[3])
+    else:
+        re, im = _dft2t_fwd(a, cxt, sxt, jnp.swapaxes(cy, 0, 1), jnp.swapaxes(sy, 0, 1))
+    return re, im, sa, va
+
+
+def _ens_chunk_from_spectra(fa, fb, cy, sy, cxt, sxt, pm, wy, wx, cnt, pack):
+    """Spectral product + inverse DFT + normalization from two cached forward
+    chunks: (corr [cnt, wy, wx], cmax [cnt,1,1], s2n [cnt,1,1])."""
+    a_re, a_im, sa, va = fa
+    b_re, b_im, sb, vb = fb
+    if pack > 1:
+        corr4 = _corr_from_spectra(a_re, a_im, b_re, b_im, pm[4], pm[5], pm[6], pm[7])
         corr = _unpack_windows(corr4, pack, wy, wx, cnt)
     else:
         cyT = jnp.swapaxes(cy, 0, 1)
         syT = jnp.swapaxes(sy, 0, 1)
-        corr = _corr_raw_transposed(a, b, cxt, sxt, cyT, syT, cxt, sxt, cyT, syT)
+        corr = _corr_from_spectra(a_re, a_im, b_re, b_im, cxt, sxt, cyT, syT)
         corr = pltpu.roll(corr, wy // 2, 1)
         corr = pltpu.roll(corr, wx // 2, 2)
+    valid = va & vb
     n_pix = wy * wx
-    corr = corr / n_pix
-    corr = corr / jnp.maximum(n_pix * sa * sb, 1e-10)
+    # one fused normalization pass (see _finish_corr)
+    corr = corr / (n_pix * jnp.maximum(n_pix * sa * sb, 1e-10))
     corr = jnp.maximum(corr, 0.0)
     corr = jnp.where(valid, corr, 0.0)
     cmax = _r2(jnp.max, corr)
     cmean = _r2(jnp.mean, corr)
     s2n = cmax / jnp.maximum(cmean, 1e-10)
     return corr, cmax, s2n
+
+
+def _ens_chunk(band_a, band_b, cy, sy, cxt, sxt, pm, wy, wx, step_x, c0, cnt, pack, n_cols):
+    """Normalized, clipped, fftshifted corr planes + per-window stats for one
+    column chunk: (corr [cnt, wy, wx], cmax [cnt,1,1], s2n [cnt,1,1]).
+    When pack > 1 the caller clamp-pads cnt to a multiple of pack**2 and
+    slices the duplicate results off afterwards."""
+    fa = _ens_fwd_chunk(band_a, cy, sy, cxt, sxt, pm, wy, wx, step_x, c0, cnt, pack, n_cols)
+    fb = _ens_fwd_chunk(band_b, cy, sy, cxt, sxt, pm, wy, wx, step_x, c0, cnt, pack, n_cols)
+    return _ens_chunk_from_spectra(fa, fb, cy, sy, cxt, sxt, pm, wy, wx, cnt, pack)
 
 
 _ENS_GROUP = 8  # pairs per grid step (output block sublane constraint)
@@ -1498,6 +1518,10 @@ def _ens_kernel(
     pack: int,
     col_chunk: int,
     buf_h: int,  # DMA buffer height (covers alignment slack for odd step_y)
+    share_fwd: bool,  # cache each frame's forward spectra across the two
+    # pairs that share it: the window build + demean + forward DFT (12 of
+    # the 18 matmul stages) then run ~9/16 as often. Costs two full-band
+    # spectra sets of VMEM; the wrapper gates it on fit.
 ):
     band = pl.program_id(0)
     grp = pl.program_id(1)
@@ -1558,12 +1582,30 @@ def _ens_kernel(
         band_a = extract_band(bufs[pair % 3])
         band_b = extract_band(bufs[(pair + 1) % 3])
         g = pack * pack
-        for c0 in range(0, n_cols, col_chunk):
-            cnt = min(col_chunk, n_cols - c0)
+        chunks = [
+            (c0, min(col_chunk, n_cols - c0)) for c0 in range(0, n_cols, col_chunk)
+        ]
+        if share_fwd:
+            fwd_band = lambda bandv: [
+                _ens_fwd_chunk(
+                    bandv, cy, sy, cxt, sxt, pm, wy, wx, step_x, c0,
+                    -(-cnt // g) * g if pack > 1 else cnt, pack, n_cols,
+                )
+                for c0, cnt in chunks
+            ]
+            if i == 0:
+                prev_fwd = fwd_band(band_a)
+            cur_fwd = fwd_band(band_b)
+        for j, (c0, cnt) in enumerate(chunks):
             cnt_pad = -(-cnt // g) * g if pack > 1 else cnt
-            corr, cmax, s2n = _ens_chunk(
-                band_a, band_b, cy, sy, cxt, sxt, pm, wy, wx, step_x, c0, cnt_pad, pack, n_cols
-            )
+            if share_fwd:
+                corr, cmax, s2n = _ens_chunk_from_spectra(
+                    prev_fwd[j], cur_fwd[j], cy, sy, cxt, sxt, pm, wy, wx, cnt_pad, pack
+                )
+            else:
+                corr, cmax, s2n = _ens_chunk(
+                    band_a, band_b, cy, sy, cxt, sxt, pm, wy, wx, step_x, c0, cnt_pad, pack, n_cols
+                )
             if cnt_pad != cnt:
                 corr, cmax, s2n = (
                     jax.lax.slice_in_dim(t, 0, cnt, axis=0) for t in (corr, cmax, s2n)
@@ -1588,6 +1630,8 @@ def _ens_kernel(
             count_ref[0, i : i + 1, c0 : c0 + cnt] += res_t[0:1]
             cmax_ref[0, i : i + 1, c0 : c0 + cnt] = res_t[1:2]
             s2n_ref[0, i : i + 1, c0 : c0 + cnt] = res_t[2:3]
+        if share_fwd:
+            prev_fwd = cur_fwd  # frame i+1's spectra serve pair i+1 as its A side
 
 
 def piv_ensemble_fused(
@@ -1601,6 +1645,7 @@ def piv_ensemble_fused(
     s2n_min: float = 3.0,
     signal_threshold: Optional[float] = None,
     interpret: bool = False,
+    share_fwd: Optional[bool] = None,
 ):
     """Fused ensemble PIV: corr-sum/count accumulate IN VMEM across the pair
     axis (the output block is resident across the inner grid dimension, the
@@ -1608,6 +1653,9 @@ def piv_ensemble_fused(
     correlation planes ever reach HBM. Returns the `piv_ensemble_scan`
     contract: (corr_sum [n_windows, wy, wx], corr_count [n_windows],
     corr_max [n_pairs, n_rows, n_cols], s2n [n_pairs, n_rows, n_cols]).
+
+    ``share_fwd`` (sliced >=32px kernel only): None = auto-enable the
+    forward-spectra cache when it fits VMEM; True/False force it (tests).
     """
     from . import piv as piv_ops
 
@@ -1657,28 +1705,40 @@ def piv_ensemble_fused(
                     stacklevel=2,
                 )
                 break
-    try:
-        return _piv_ensemble_fused_jit(
-            imgs, (wy, wx), (step_y, step_x), n_rows, n_cols,
-            float(corr_min), float(s2n_min), bool(interpret),
-        )
-    except Exception as e:
-        if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
-            raise  # engine chunk backoff handles device OOM; XLA needs MORE
-        # degrade to the slower-but-correct XLA scan on any Pallas failure
-        import warnings
+    # share-ladder: auto (cache forward spectra if they fit) -> no-share on a
+    # scoped-VMEM overflow (the host-side fit model can be wrong) -> XLA scan
+    attempts = [share_fwd] if share_fwd is not None else [None, False]
+    last_err = None
+    for i_att, share in enumerate(attempts):
+        try:
+            return _piv_ensemble_fused_jit(
+                imgs, (wy, wx), (step_y, step_x), n_rows, n_cols,
+                float(corr_min), float(s2n_min), bool(interpret), share,
+            )
+        except Exception as e:
+            last_err = e
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg:
+                raise  # engine chunk backoff handles device OOM; XLA needs MORE
+            if "vmem" in msg.lower() and i_att + 1 < len(attempts):
+                continue
+            break
+    # degrade to the slower-but-correct XLA scan on any Pallas failure
+    import warnings
 
-        warnings.warn(
-            f"Fused ensemble kernel failed to compile ({e}); falling back to the XLA scan.",
-            stacklevel=2,
-        )
-        return piv_ops.piv_ensemble_scan(
-            imgs, dim_size, sas, overlap, n_rows, n_cols, corr_min, s2n_min, signal_threshold
-        )
+    warnings.warn(
+        f"Fused ensemble kernel failed to compile ({last_err}); falling back to the XLA scan.",
+        stacklevel=2,
+    )
+    return piv_ops.piv_ensemble_scan(
+        imgs, dim_size, sas, overlap, n_rows, n_cols, corr_min, s2n_min, signal_threshold
+    )
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
-def _piv_ensemble_fused_jit(imgs, sas, steps, n_rows, n_cols, corr_min, s2n_min, interpret):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+def _piv_ensemble_fused_jit(
+    imgs, sas, steps, n_rows, n_cols, corr_min, s2n_min, interpret, share_fwd=None
+):
     wy, wx = sas
     step_y, step_x = steps
     n_pairs = imgs.shape[0] - 1
@@ -1712,15 +1772,26 @@ def _piv_ensemble_fused_jit(imgs, sas, steps, n_rows, n_cols, corr_min, s2n_min,
     )
     budget = (15 << 20) - resident
     g = pack * pack
+    # shared-forward spectra cache: two full-band sets of (re, im) planes —
+    # packed tiles when pack > 1, lane-padded planes otherwise
+    if pack > 1:
+        cache_bytes = 2 * 2 * (-(-n_cols // g)) * (pack * wy) * (pack * wx) * 4
+    else:
+        cache_bytes = 2 * 2 * n_cols * wy * (-(-wx // 128) * 128) * 4
     # ~500KB of temporaries per chunk column at 64px, scaled by window area
     per_win = max((500 << 10) * (wy * (-(-wx // 128) * 128)) // (64 * 128), 32 << 10)
+    if share_fwd is None:
+        # auto: share when the cache still leaves a useful chunk width
+        share_fwd = budget - cache_bytes >= 8 * per_win
+    if share_fwd:
+        budget -= cache_bytes
     col_chunk = max(int(budget // per_win), 4)
     col_chunk = max((col_chunk // g) * g, g) if g > 1 else min(col_chunk, 24)
     col_chunk = min(col_chunk, -(-n_cols // g) * g if g > 1 else n_cols)
     kernel = functools.partial(
         _ens_kernel, wy=wy, wx=wx, step_y=step_y, step_x=step_x, n_cols=n_cols,
         n_pairs=n_pairs, corr_min=corr_min, s2n_min=s2n_min, pack=pack,
-        col_chunk=col_chunk, buf_h=buf_h,
+        col_chunk=col_chunk, buf_h=buf_h, share_fwd=bool(share_fwd),
     )
     out_shape = [
         jax.ShapeDtypeStruct((n_rows, n_cols, wy, wx), jnp.float32),  # corr_sum

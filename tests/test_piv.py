@@ -457,6 +457,28 @@ def test_fused_ensemble_small_windows_match_scan(rng, sas, dims):
         assert np.allclose(a, b, atol=tol, equal_nan=True), name
 
 
+def test_fused_ensemble_shared_forward_matches_unshared(rng):
+    """The shared-forward-spectra cache (each frame's window build + demean +
+    forward DFT computed once, reused by both pairs that touch the frame) is
+    bit-exact against the unshared kernel — same stages, same order, only the
+    redundant recomputation removed."""
+    from pyorc_tpu.ops import piv_pallas
+
+    img = make_particle_image(rng, 256, 384)
+    frames = np.stack([shift_image(img, 2.0 * t, -t) for t in range(5)]).astype(np.float32)
+    h, w = img.shape
+    n_rows, n_cols = windows.get_field_shape((h, w), (64, 64), (32, 32))
+    kw = dict(corr_min=0.1, s2n_min=1.5, interpret=True)
+    shared = piv_pallas.piv_ensemble_fused(
+        frames, (h, w), (64, 64), (32, 32), n_rows, n_cols, share_fwd=True, **kw
+    )
+    plain = piv_pallas.piv_ensemble_fused(
+        frames, (h, w), (64, 64), (32, 32), n_rows, n_cols, share_fwd=False, **kw
+    )
+    for name, a, b in zip(("corr_sum", "count", "cmax", "s2n"), shared, plain):
+        assert np.array_equal(np.asarray(a), np.asarray(b), equal_nan=True), name
+
+
 def test_fused_ensemble_unsupported_geometry_falls_back(rng):
     from pyorc_tpu.ops import piv_pallas
 

@@ -786,7 +786,7 @@ def _tb_kernel(
     jax.lax.fori_loop(0, n_rows // bband, loop_body, 0)
 
 
-def _tb_bband(w: int, n_cols: int) -> int:
+def _tb_bband(w: int, n_cols: int, share: bool = False) -> int:
     """Bands batched per loop iteration, sized by a VMEM live-set model.
 
     The math pipeline's peak live set is ~8 [n_t, pwh, pad128(pxw)] fp32
@@ -797,12 +797,18 @@ def _tb_bband(w: int, n_cols: int) -> int:
     Measured on v5e at 16 px 1080p: 519 / 545 / 572 / 583 pairs/s at
     bband 1 / 2 / 3 / 4 (diminishing — the band DMA + tile-build stores
     scale with bands).
+
+    ``share`` (tileband ENSEMBLE with the forward-spectra cache): the cache
+    holds one frame's (re, im) spectra plus its ssq across grid steps — ~2
+    extra plane-arrays live at peak on top of the downstream set (the forward
+    batch itself halves, mt instead of 2*mt).
     """
     py, px = _tb_shape(w)
     wp = -(-w // 8) * 8
     g2 = 2 * py * px
     n_t = 2 * (-(-n_cols // g2))
-    per_band = 8 * n_t * (py * wp) * (-(-(px * w) // 128) * 128) * 4
+    plane = n_t * (py * wp) * (-(-(px * w) // 128) * 128) * 4
+    per_band = (9 if share else 8) * plane
     return max(1, min(int((11 << 20) // per_band), 4))
 
 
@@ -880,16 +886,20 @@ def _tb_ens_kernel(
     pmx_ref,  # [4, pxw, pxw]
     pmy_ref,  # [4, pwh, pwh]
     dc_ref,  # [pxw, pwh]
+    cst_ref,  # [3, pwh, pxw] lin/row/col mods (pairs mode; dummy in ens mode)
     b1x_ref,  # [pxw, px]
     b1y_ref,  # [pwh, py]
-    qt3_ref,  # [3*bband*n_t, py, n_cols]
+    qt_ref,  # [(3 ens | 5 pairs)*bband*n_t, py, n_cols]
     qs_ref,  # [px, n_cols]
-    acc_ref,  # [1, mt, pwh, pxw] packed corr-sum block, resident across pairs
-    count_ref,  # [1, bband, n_cols] block, resident across pairs
-    cmax_ref,  # [1, bband, n_cols] per (strip, pair)
+    acc_ref,  # ens: [1, mt, pwh, pxw] packed corr-sum block, resident across
+    # pairs; pairs mode: u [1, 1, bband, n_cols] per (pair, strip)
+    count_ref,  # ens: [1, bband, n_cols] resident block; pairs: v
+    cmax_ref,  # [1, 1, bband, n_cols] per (strip, pair)
     s2n_ref,
     bufs,  # VMEM scratch [3, slab_h, W]: rotating frame-slab buffers
-    tiles_s,  # VMEM scratch [2*mt, pwh, pxw]
+    tiles_s,  # VMEM scratch [mt (share) or 2*mt, pwh, pxw]
+    spec_s,  # VMEM scratch [2*mt, pxw, pwh] fwd-spectra cache (share_fwd only)
+    ssq_s,  # VMEM scratch [mt, py, px] block sum-of-squares cache (share_fwd)
     sems,
     *,
     w: int,
@@ -901,6 +911,15 @@ def _tb_ens_kernel(
     s2n_min: float,
     bband: int,
     slab_h: int,
+    share_fwd: bool,  # cache each frame's tile build + demean + forward DFT
+    # across the two pairs that touch it (scratch persists across the
+    # sequential pair grid steps), so the forward phase runs once per FRAME
+    # instead of twice per interior frame; bit-exact vs the unshared path
+    # (per-tile batched ops are independent of batch composition).
+    mode: str = "ens",  # "ens": VMEM-resident corr-sum accumulation;
+    # "pairs": the per-pair contract — the same shared-forward correlation
+    # pipeline finished by _tb_kernel's peak-stencil stage, with u/v/cmax/s2n
+    # written per (pair, strip) instead of accumulated.
 ):
     """Tileband ENSEMBLE kernel: the per-pair tileband correlation pipeline
     (see ``_tb_kernel``) WITHOUT its u/v peak-stencil stage, plus a packed
@@ -921,7 +940,7 @@ def _tb_ens_kernel(
     dc_mask = dc_ref[:]
     b1x = b1x_ref[:]
     b1y = b1y_ref[:]
-    qt3 = qt3_ref[:]
+    qt = qt_ref[:]
     qs = qs_ref[:]
     aligned = step_y % 8 == 0
     py, px = _tb_shape(w)
@@ -929,7 +948,8 @@ def _tb_ens_kernel(
     pxw = px * w
     pwh = py * wp
     g2 = 2 * py * px
-    n_t = qt3.shape[0] // (3 * bband)
+    n_sc = 3 if mode == "ens" else 5  # assembled scalars per band
+    n_t = qt.shape[0] // (n_sc * bband)
     mt = bband * n_t
     n_pix = w * w
     n_frames = frames_hbm.shape[0]
@@ -942,6 +962,13 @@ def _tb_ens_kernel(
     def mm2(x, m):
         hi = x.astype(jnp.bfloat16).astype(jnp.float32)
         return mm1(hi, m) + mm1(x - hi, m)
+
+    def mm3(x, m):
+        # EXACT for 0/1 matrices (see _tb_kernel)
+        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        r1 = x - hi
+        mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+        return mm1(hi, m) + mm1(mid, m) + mm1(r1 - mid, m)
 
     mmx = mm2
     b1xt = b1x.T
@@ -957,6 +984,7 @@ def _tb_ens_kernel(
         return jnp.concatenate(cols, axis=2)
 
     rmax = lambda x, ax: jnp.max(x, axis=ax, keepdims=True)
+    rmin = lambda x, ax: jnp.min(x, axis=ax, keepdims=True)
 
     def bcast(m, mm=None):
         if mm is None:
@@ -1000,8 +1028,11 @@ def _tb_ens_kernel(
 
     @pl.when(p == 0)
     def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        count_ref[...] = jnp.zeros_like(count_ref)
+        if mode == "ens":
+            # the resident accumulator blocks zero once per strip; in pairs
+            # mode every output block is per-(pair, strip), nothing persists
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            count_ref[...] = jnp.zeros_like(count_ref)
         dma(0).start()
         dma(1).start()
 
@@ -1010,28 +1041,61 @@ def _tb_ens_kernel(
     def _():
         dma(p + 2).start()
 
-    @pl.when(p == 0)
-    def _():
-        dma(0).wait()
+    if share_fwd:
+        # forward phase for ONE frame: tile build + demean + ssq + forward
+        # DFT (frame slot 0 of the mt-sized tile scratch)
+        def fwd_frame(buf_idx):
+            for b in range(bband):
+                build_tiles(extract_band(bufs[buf_idx], b), 0, b)
+            a = tiles_s[0:mt]
+            a = a - bcast(block_sum(a) / n_pix)
+            ssq = block_sum(a * a)
+            re, im = dft2t(a)
+            return re, im, ssq
 
-    dma(p + 1).wait()
-    for b in range(bband):
-        build_tiles(extract_band(bufs[p % 3], b), 0, b)
-        build_tiles(extract_band(bufs[(p + 1) % 3], b), 1, b)
+        @pl.when(p == 0)
+        def _():
+            # seed the cache with frame 0's forward state (per strip: the
+            # pair axis is the innermost grid dim, so p restarts per strip)
+            dma(0).wait()
+            re0, im0, ssq0 = fwd_frame(0)
+            spec_s[0:mt] = re0
+            spec_s[mt : 2 * mt] = im0
+            ssq_s[...] = ssq0
 
-    # demean + forward DFT, both frames of all bands in one batch (see
-    # _tb_kernel for the numerical rationale)
-    ab = tiles_s[0 : 2 * mt]
-    ab = ab - bcast(block_sum(ab) / n_pix)
-    ssqs = block_sum(ab * ab)
-    ssq_a = jax.lax.slice_in_dim(ssqs, 0, mt, axis=0)
-    ssq_b = jax.lax.slice_in_dim(ssqs, mt, 2 * mt, axis=0)
+        dma(p + 1).wait()
+        bt_re, bt_im, ssq_b = fwd_frame((p + 1) % 3)
+        # read frame p's cached state BEFORE overwriting the slot with
+        # frame p+1's (which serves pair p+1 as its A side)
+        at_re = spec_s[0:mt] * dc_mask
+        at_im = spec_s[mt : 2 * mt] * dc_mask
+        ssq_a = ssq_s[...]
+        spec_s[0:mt] = bt_re
+        spec_s[mt : 2 * mt] = bt_im
+        ssq_s[...] = ssq_b
+    else:
+        @pl.when(p == 0)
+        def _():
+            dma(0).wait()
 
-    ab_re, ab_im = dft2t(ab)
-    at_re = jax.lax.slice_in_dim(ab_re, 0, mt, axis=0) * dc_mask
-    at_im = jax.lax.slice_in_dim(ab_im, 0, mt, axis=0) * dc_mask
-    bt_re = jax.lax.slice_in_dim(ab_re, mt, 2 * mt, axis=0)
-    bt_im = jax.lax.slice_in_dim(ab_im, mt, 2 * mt, axis=0)
+        dma(p + 1).wait()
+        for b in range(bband):
+            build_tiles(extract_band(bufs[p % 3], b), 0, b)
+            build_tiles(extract_band(bufs[(p + 1) % 3], b), 1, b)
+
+        # demean + forward DFT, both frames of all bands in one batch (see
+        # _tb_kernel for the numerical rationale)
+        ab = tiles_s[0 : 2 * mt]
+        ab = ab - bcast(block_sum(ab) / n_pix)
+        ssqs = block_sum(ab * ab)
+        ssq_a = jax.lax.slice_in_dim(ssqs, 0, mt, axis=0)
+        ssq_b = jax.lax.slice_in_dim(ssqs, mt, 2 * mt, axis=0)
+
+        ab_re, ab_im = dft2t(ab)
+        at_re = jax.lax.slice_in_dim(ab_re, 0, mt, axis=0) * dc_mask
+        at_im = jax.lax.slice_in_dim(ab_im, 0, mt, axis=0) * dc_mask
+        bt_re = jax.lax.slice_in_dim(ab_re, mt, 2 * mt, axis=0)
+        bt_im = jax.lax.slice_in_dim(ab_im, mt, 2 * mt, axis=0)
     st_re = at_re * bt_re + at_im * bt_im
     st_im = at_re * bt_im - at_im * bt_re
     st_re_t = T(st_re)
@@ -1050,26 +1114,96 @@ def _tb_ens_kernel(
     cmax_n = jnp.where(valid, cmax_raw / denom, 0.0)
     cmean_n = jnp.where(valid, csum_raw / denom, 0.0) / n_pix
     s2n_n = cmax_n / jnp.maximum(cmean_n, 1e-10)
-    okf = (
-        (cmax_n >= corr_min).astype(jnp.float32)
-        * (s2n_n >= s2n_min).astype(jnp.float32)
-        * valid.astype(jnp.float32)
-    )  # [mt, py, px]
+    if mode == "ens":
+        okf = (
+            (cmax_n >= corr_min).astype(jnp.float32)
+            * (s2n_n >= s2n_min).astype(jnp.float32)
+            * valid.astype(jnp.float32)
+        )  # [mt, py, px]
 
-    # gated, normalized plane accumulation in the PACKED domain: one bcast of
-    # ok/denom + one fused multiply-add on the resident block
-    acc_ref[0] += corr * bcast(okf / denom)
+        # gated, normalized plane accumulation in the PACKED domain: one bcast
+        # of ok/denom + one fused multiply-add on the resident block
+        acc_ref[0] += corr * bcast(okf / denom)
 
-    # per-pair scalars (gated, matching piv_ensemble_scan's contract) through
-    # the batched qt/qs assemble into band-row order
-    allsc = jnp.concatenate([okf, okf * cmax_n, okf * s2n_n], axis=0)  # [3mt, py, px]
-    m1 = mmx(T(allsc), qt3)  # [3mt, px, n_cols]
-    m2 = jnp.sum(m1.reshape(3 * bband, n_t, px, n_cols), axis=1)
-    rows = jnp.sum(m2 * qs, axis=1)  # [3*bband, n_cols]
+        # per-pair scalars (gated, matching piv_ensemble_scan's contract)
+        # through the batched qt/qs assemble into band-row order
+        allsc = jnp.concatenate([okf, okf * cmax_n, okf * s2n_n], axis=0)  # [3mt, py, px]
+        m1 = mmx(T(allsc), qt)  # [3mt, px, n_cols]
+        m2 = jnp.sum(m1.reshape(3 * bband, n_t, px, n_cols), axis=1)
+        rows = jnp.sum(m2 * qs, axis=1)  # [3*bband, n_cols]
+        for b in range(bband):
+            count_ref[0, b : b + 1, :] += rows[b : b + 1]
+            cmax_ref[0, 0, b : b + 1, :] = rows[bband + b : bband + b + 1]
+            s2n_ref[0, 0, b : b + 1, :] = rows[2 * bband + b : 2 * bband + b + 1]
+        return
+
+    # -- pairs mode: _tb_kernel's peak-stencil finish on the mt batch --------
+    lin_mod = cst_ref[0]
+    row_mod = cst_ref[1]
+    col_mod = cst_ref[2]
+    validf = valid.astype(jnp.float32)
+    ispk = corr >= bcast(cmax_raw, mm=mm3)  # exact: same values fed both sides
+    lin = jnp.where(ispk, lin_mod, jnp.float32(2 * n_pix))
+    first_lin = block_reduce(lin, rmin)
+    iy = jnp.floor(first_lin / w)
+    ix = first_lin - iy * w
+    iyc = jnp.clip(iy, 1.0, w - 2.0)
+    ixc = jnp.clip(ix, 1.0, w - 2.0)
+    # ONE broadcast for both peak coordinates (small integers: exact in bf16)
+    iyx = bcast(jnp.concatenate([iyc, ixc], axis=0), mm=mm1)
+    iyB = jax.lax.slice_in_dim(iyx, 0, mt, axis=0)
+    ixB = jax.lax.slice_in_dim(iyx, mt, 2 * mt, axis=0)
+    at_y = row_mod == iyB
+    at_x = col_mod == ixB
+    # neighbour reads via SHIFTED one-hots (no tile rolls); the clamped
+    # stencil keeps iyc/ixc one pixel inside each window block
+    oh0 = (at_y & at_x).astype(jnp.float32)
+    ohl = (at_y & (col_mod == ixB - 1.0)).astype(jnp.float32)
+    ohr = (at_y & (col_mod == ixB + 1.0)).astype(jnp.float32)
+    ohu = ((row_mod == iyB - 1.0) & at_x).astype(jnp.float32)
+    ohd = ((row_mod == iyB + 1.0) & at_x).astype(jnp.float32)
+    # all five stencil extractions in ONE batched slice-tree (blockMAX ==
+    # blockSUM: one non-negative value per block after the clip)
+    sten5 = jnp.concatenate(
+        [oh0 * corr, ohl * corr, ohr * corr, ohu * corr, ohd * corr], axis=0
+    )
+    sten = block_reduce(sten5, rmax)
+
+    eps = 1e-10
+    valid5 = jnp.concatenate([valid] * 5, axis=0)
+    denom5 = jnp.concatenate([denom] * 5, axis=0)
+    logs = jnp.log(jnp.maximum(jnp.where(valid5, sten / denom5, 0.0), eps))
+    sl = lambda k: jax.lax.slice_in_dim(logs, k * mt, (k + 1) * mt, axis=0)
+    log0 = sl(0)
+    lcl = sl(1)
+    lcr = sl(2)
+    lcu = sl(3)
+    lcd = sl(4)
+
+    def safe_div(num, den):
+        den = jnp.where(jnp.abs(den) < eps, -eps, den)
+        return num / den
+
+    dx = safe_div(lcl - lcr, 2 * lcl - 4 * log0 + 2 * lcr)
+    dy = safe_div(lcu - lcd, 2 * lcu - 4 * log0 + 2 * lcd)
+    dx = jnp.clip(dx, -1.0, 1.0)
+    dy = jnp.clip(dy, -1.0, 1.0)
+    u = (ixc + dx) - w // 2
+    v = -((iyc + dy) - w // 2)
+
+    # all five scalar fields through ONE batched assemble (see _tb_kernel)
+    allsc = jnp.concatenate([validf, u, v, cmax_n, s2n_n], axis=0)  # [5*mt, py, px]
+    m1 = mmx(T(allsc), qt)  # [5*mt, px, n_cols]
+    m2 = jnp.sum(m1.reshape(5 * bband, n_t, px, n_cols), axis=1)
+    rows = jnp.sum(m2 * qs, axis=1)  # [5*bband, n_cols] in window order
     for b in range(bband):
-        count_ref[0, b : b + 1, :] += rows[b : b + 1]
-        cmax_ref[0, 0, b : b + 1, :] = rows[bband + b : bband + b + 1]
-        s2n_ref[0, 0, b : b + 1, :] = rows[2 * bband + b : 2 * bband + b + 1]
+        ok = rows[b : b + 1] > 0.5
+        acc_ref[0, 0, b : b + 1, :] = jnp.where(ok, rows[bband + b : bband + b + 1], jnp.nan)
+        count_ref[0, 0, b : b + 1, :] = jnp.where(
+            ok, rows[2 * bband + b : 2 * bband + b + 1], jnp.nan
+        )
+        cmax_ref[0, 0, b : b + 1, :] = rows[3 * bband + b : 3 * bband + b + 1]
+        s2n_ref[0, 0, b : b + 1, :] = rows[4 * bband + b : 4 * bband + b + 1]
 
 
 def _tb_unpack_perm(w: int, n_cols: int) -> np.ndarray:
@@ -1086,8 +1220,10 @@ def _tb_unpack_perm(w: int, n_cols: int) -> np.ndarray:
     return perm
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
-def _piv_ensemble_tb_jit(imgs, sas, steps, n_rows, n_cols, corr_min, s2n_min, interpret, bband):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9))
+def _piv_ensemble_tb_jit(
+    imgs, sas, steps, n_rows, n_cols, corr_min, s2n_min, interpret, bband, share_fwd=True
+):
     """Tileband ensemble PIV (50%-overlap square windows < 32 px).
 
     Returns the ``piv_ensemble_scan`` contract: (corr_sum [n_windows, wy, wx],
@@ -1126,7 +1262,7 @@ def _piv_ensemble_tb_jit(imgs, sas, steps, n_rows, n_cols, corr_min, s2n_min, in
     kernel = functools.partial(
         _tb_ens_kernel, w=w, step_y=step_y, step_x=step_x, n_cols=n_cols,
         n_pairs=n_pairs, corr_min=float(corr_min), s2n_min=float(s2n_min),
-        bband=bband, slab_h=slab_h,
+        bband=bband, slab_h=slab_h, share_fwd=bool(share_fwd),
     )
     # cmax/s2n are 4-D so the block's trailing two dims EQUAL the array dims
     # (a (1, bband, n_cols) block over [n_pairs, nb_pad, n_cols] would need
@@ -1160,7 +1296,11 @@ def _piv_ensemble_tb_jit(imgs, sas, steps, n_rows, n_cols, corr_min, s2n_min, in
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((3, slab_h, w_img), jnp.float32),
-            pltpu.VMEM((2 * mt, pwh, pxw), jnp.float32),
+            # share mode builds one frame's tiles at a time and caches its
+            # forward state; the dummies keep the kernel signature static
+            pltpu.VMEM(((mt if share_fwd else 2 * mt), pwh, pxw), jnp.float32),
+            pltpu.VMEM((2 * mt, pxw, pwh) if share_fwd else (8, 128), jnp.float32),
+            pltpu.VMEM((mt, py, px) if share_fwd else (8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
@@ -1654,8 +1794,9 @@ def piv_ensemble_fused(
     contract: (corr_sum [n_windows, wy, wx], corr_count [n_windows],
     corr_max [n_pairs, n_rows, n_cols], s2n [n_pairs, n_rows, n_cols]).
 
-    ``share_fwd`` (sliced >=32px kernel only): None = auto-enable the
-    forward-spectra cache when it fits VMEM; True/False force it (tests).
+    ``share_fwd``: None = auto-enable the forward-spectra cache when it fits
+    VMEM (both the tileband <32 px and sliced >=32 px kernels); True/False
+    force it (tests).
     """
     from . import piv as piv_ops
 
@@ -1678,33 +1819,42 @@ def piv_ensemble_fused(
         # — it lacked bband batching, the batched assemble, and the bf16
         # 2-pass gather matmuls; this one shares all of the per-pair
         # kernel's round-3 machinery.)
-        bband = _tb_bband(wx, n_cols)
-        while True:
-            try:
-                return _piv_ensemble_tb_jit(
-                    imgs, (wy, wx), (step_y, step_x), n_rows, n_cols,
-                    float(corr_min), float(s2n_min), bool(interpret), bband,
-                )
-            except Exception as e:
-                msg = str(e).lower()
-                # match only the scoped-VMEM overflow, not every message that
-                # happens to print a "memory space vmem" block spec
-                vmem_over = "vmem" in msg and any(
-                    t in msg for t in ("exceed", "limit", "alloc", "scoped")
-                )
-                if vmem_over and bband > 1:
-                    bband //= 2
-                    continue
-                if "resource_exhausted" in msg or "out of memory" in msg:
-                    raise  # engine chunk backoff handles device OOM
-                import warnings
+        # share ladder: forward-spectra cache on (the cache costs ~2 extra
+        # mt-plane arrays; _tb_bband's share-aware budget accounts for it),
+        # halving bband on scoped-VMEM overflow, then the unshared kernel
+        share_plan = [True, False] if share_fwd is None else [bool(share_fwd)]
+        tb_failed = None
+        for tb_share in share_plan:
+            bband = _tb_bband(wx, n_cols, share=tb_share)
+            while True:
+                try:
+                    return _piv_ensemble_tb_jit(
+                        imgs, (wy, wx), (step_y, step_x), n_rows, n_cols,
+                        float(corr_min), float(s2n_min), bool(interpret), bband,
+                        tb_share,
+                    )
+                except Exception as e:
+                    msg = str(e).lower()
+                    # match only the scoped-VMEM overflow, not every message
+                    # that prints a "memory space vmem" block spec
+                    vmem_over = "vmem" in msg and any(
+                        t in msg for t in ("exceed", "limit", "alloc", "scoped")
+                    )
+                    if vmem_over and bband > 1:
+                        bband //= 2
+                        continue
+                    if "resource_exhausted" in msg or "out of memory" in msg:
+                        raise  # engine chunk backoff handles device OOM
+                    tb_failed = e
+                    break
+        if tb_failed is not None:
+            import warnings
 
-                warnings.warn(
-                    f"Tileband ensemble kernel failed ({e}); "
-                    "falling back to the sliced ensemble kernel.",
-                    stacklevel=2,
-                )
-                break
+            warnings.warn(
+                f"Tileband ensemble kernel failed ({tb_failed}); "
+                "falling back to the sliced ensemble kernel.",
+                stacklevel=2,
+            )
     # share-ladder: auto (cache forward spectra if they fit) -> no-share on a
     # scoped-VMEM overflow (the host-side fit model can be wrong) -> XLA scan
     attempts = [share_fwd] if share_fwd is not None else [None, False]

@@ -479,6 +479,34 @@ def test_fused_ensemble_shared_forward_matches_unshared(rng):
         assert np.array_equal(np.asarray(a), np.asarray(b), equal_nan=True), name
 
 
+@pytest.mark.parametrize("win", [16, 26])
+def test_tileband_ensemble_shared_forward_matches_unshared(rng, win):
+    """The tileband ensemble kernel's forward-spectra cache (one frame's tile
+    build + demean + forward DFT persisted in scratch across the sequential
+    pair grid steps) is bit-exact against the unshared kernel — per-tile
+    batched ops are independent of batch composition, so removing the
+    redundant recomputation changes nothing."""
+    from pyorc_tpu.ops import piv_pallas
+
+    img = rng.random((120, 260)).astype(np.float32)
+    frames = np.stack(
+        [np.roll(np.roll(img, 2 * t, 1), -t, 0) for t in range(4)]
+    ).astype(np.float32)
+    h, w = img.shape
+    sas = (win, win)
+    ov = (win // 2, win // 2)
+    n_rows, n_cols = windows.get_field_shape((h, w), sas, ov)
+    kw = dict(corr_min=0.1, s2n_min=1.5, interpret=True)
+    shared = piv_pallas.piv_ensemble_fused(
+        frames, (h, w), sas, ov, n_rows, n_cols, share_fwd=True, **kw
+    )
+    plain = piv_pallas.piv_ensemble_fused(
+        frames, (h, w), sas, ov, n_rows, n_cols, share_fwd=False, **kw
+    )
+    for name, a, b in zip(("corr_sum", "count", "cmax", "s2n"), shared, plain):
+        assert np.array_equal(np.asarray(a), np.asarray(b), equal_nan=True), name
+
+
 def test_fused_ensemble_unsupported_geometry_falls_back(rng):
     from pyorc_tpu.ops import piv_pallas
 

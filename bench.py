@@ -268,10 +268,16 @@ def main():
         }
         # ensemble-path rates at every window size (the long-video production
         # configuration; must stay >= the per-pair rates at 16/26 px)
-        out["ensemble"] = {
-            f"{win}px_1080p": {"pairs_per_sec": round(_bench_ensemble(win, h, w), 1)}
-            for win in (16, 26, 32, 64)
-        }
+        from pyorc_tpu.ops import piv_pallas
+
+        def _ens(win):
+            p = _bench_ensemble(win, h, w)
+            # record which kernel actually ran: a silent downgrade to a
+            # slower variant must be visible in the committed artifact
+            return {"pairs_per_sec": round(p, 1),
+                    "route": piv_pallas.KERNEL_ROUTE.get("piv_ensemble_fused")}
+
+        out["ensemble"] = {f"{win}px_1080p": _ens(win) for win in (16, 26, 32, 64)}
         # on-chip fused-vs-XLA displacement parity (recorded artifact):
         # cond_max (unambiguous-peak agreement) is the contract; max may be
         # inflated by near-tie double peaks where both estimates are valid

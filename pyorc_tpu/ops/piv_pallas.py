@@ -22,6 +22,8 @@ divides the window size — the standard PIV configuration.
 from __future__ import annotations
 
 import functools
+import os
+import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -33,7 +35,69 @@ from jax.experimental.pallas import tpu as pltpu
 from . import windows as win
 from .piv import _dft_mats
 
-__all__ = ["piv_pairs_fused"]
+__all__ = ["piv_pairs_fused", "piv_ensemble_fused", "KERNEL_ROUTE"]
+
+# Last route each entrypoint actually took, e.g. {"piv_pairs_fused":
+# "tileband", "piv_ensemble_fused": "xla_scan"}. Tests assert on this so a
+# silent downgrade (fused kernel dies, fallback ladder swallows it) FAILS
+# instead of passing vacuously — the round-4 tileband-ensemble regression
+# shipped precisely because nothing observed which kernel ran.
+KERNEL_ROUTE: dict = {}
+
+
+def _route(entry: str, route: str) -> None:
+    KERNEL_ROUTE[entry] = route
+
+
+def _interpret_needs_cpu_pin() -> bool:
+    """Interpret-mode kernels must execute on the CPU backend.
+
+    Pallas interpret mode emulates the kernel with plain jax ops; executed on
+    the tunneled axon TPU backend that emulation silently computes garbage
+    (measured: constant displacement fields). Interpret is a CPU debugging
+    path — pin it there. Returns False once already inside the CPU pin (the
+    fused entrypoints recurse once under ``jax.default_device``)."""
+    if jax.default_backend() == "cpu":
+        return False
+    dev = jax.config.jax_default_device
+    return dev is None or getattr(dev, "platform", None) != "cpu"
+
+
+def _strict_kernels() -> bool:
+    """PYORC_TPU_STRICT_KERNELS=1 turns every exception-driven kernel
+    fallback into a hard failure (geometry-based routing to the XLA path is
+    intended behavior and stays allowed). Enabled in conftest."""
+    return os.environ.get("PYORC_TPU_STRICT_KERNELS", "0").lower() not in ("", "0", "false")
+
+
+def _recoverable(e: Exception) -> bool:
+    """Whether an exception may legitimately trigger a kernel fallback.
+
+    Compiler/runtime failures (Mosaic lowering rejections, scoped-VMEM
+    overflow, XLA runtime errors) are resource/backend conditions the
+    fallback ladders exist for. Python programming errors — a TypeError from
+    a miswired operand list, a ValueError from a bad shape at trace time —
+    are bugs and must propagate ALWAYS, strict mode or not."""
+    if isinstance(e, (TypeError, AttributeError, NameError, KeyError, IndexError, AssertionError)):
+        return False
+    if isinstance(e, ValueError):
+        msg = str(e).lower()
+        return "vmem" in msg or "mosaic" in msg or "pallas" in msg
+    return True
+
+
+def _fallback(entry: str, route: str, err: Exception, what: str) -> None:
+    """Record an exception-driven downgrade; warn, or raise in strict mode."""
+    if _strict_kernels():
+        raise RuntimeError(
+            f"{entry}: {what} failed and PYORC_TPU_STRICT_KERNELS is set "
+            f"(would have fallen back to {route})."
+        ) from err
+    _route(entry, route)
+    warnings.warn(
+        f"{what} failed ({err}); falling back to {route}.",
+        stacklevel=3,
+    )
 
 
 def _band_windows(band, c0, cnt, wx, step_x, n_cols):
@@ -1239,7 +1303,7 @@ def _piv_ensemble_tb_jit(
     pwh = py * wp
     n_pix = w * w
     pmx, pmy = _tb_mats(w)
-    dc_mask, _cst, b1x, b1y, qt, qs = _tb_consts(w, n_cols)
+    dc_mask, cst, b1x, b1y, qt, qs = _tb_consts(w, n_cols)
     n_t = qt.shape[0]
     mt = bband * n_t
     qt3 = np.tile(qt, (3 * bband, 1, 1))
@@ -1282,6 +1346,7 @@ def _piv_ensemble_tb_jit(
             vspec(4, pxw, pxw),
             vspec(4, pwh, pwh),
             vspec(pxw, pwh),
+            vspec(3, pwh, pxw),
             vspec(pxw, px),
             vspec(pwh, py),
             vspec(3 * bband * n_t, py, n_cols),
@@ -1306,7 +1371,8 @@ def _piv_ensemble_tb_jit(
         interpret=interpret,
     )(
         frames, jnp.asarray(pmx), jnp.asarray(pmy), jnp.asarray(dc_mask),
-        jnp.asarray(b1x), jnp.asarray(b1y), jnp.asarray(qt3), jnp.asarray(qs),
+        jnp.asarray(cst), jnp.asarray(b1x), jnp.asarray(b1y), jnp.asarray(qt3),
+        jnp.asarray(qs),
     )
     # unpack the packed accumulator to window order, ONCE: [n_strips, mt,
     # pwh, pxw] -> blocks -> gather real windows -> [n_windows, wy, wx]
@@ -1341,6 +1407,12 @@ def piv_pairs_fused(
     Falls back to the XLA-composed pipeline when the window grid does not
     match the strided fast-path layout or a signal_threshold is requested.
     """
+    if interpret and _interpret_needs_cpu_pin():
+        with jax.default_device(jax.devices("cpu")[0]):
+            return piv_pairs_fused(
+                np.asarray(imgs), dim_size, sas, overlap, n_rows, n_cols,
+                signal_threshold, interpret, pair_stride,
+            )
     from . import piv as piv_ops
 
     wy, wx = sas
@@ -1348,6 +1420,7 @@ def piv_pairs_fused(
     step_y = piv_ops._strided_axis_starts(np.asarray(row0), wy)
     step_x = piv_ops._strided_axis_starts(np.asarray(col0), wx)
     if not _fused_geometry_ok(wy, wx, step_y, step_x) or signal_threshold is not None:
+        _route("piv_pairs_fused", "xla_geometry")
         if pair_stride != 1:
             u, v, cmax, s2n = piv_ops.piv_pairs(
                 imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold
@@ -1379,11 +1452,15 @@ def piv_pairs_fused(
     nb_max = max(int((budget - band_scratch - reserve) // per_band), 4)
     while nb_max >= 4:
         try:
-            return _piv_pairs_fused_strips(
+            out = _piv_pairs_fused_strips(
                 imgs, (wy, wx), (step_y, step_x), n_rows, n_cols, nb_max, bool(interpret),
                 int(pair_stride), bband, ppg,
             )
+            _route("piv_pairs_fused", "tileband" if tileband else "sliced")
+            return out
         except Exception as e:
+            if not _recoverable(e):
+                raise  # programming error, never a fallback condition
             last_err = e
             msg = str(e)
             # the compiler's scoped-vmem accounting beats any host-side model;
@@ -1405,14 +1482,8 @@ def piv_pairs_fused(
             break
     # Any other Pallas/Mosaic failure (lowering rejection, a renamed compiler
     # error class...) degrades to the slower-but-correct XLA pipeline with an
-    # observable warning rather than a hard failure.
-    import warnings
-
-    warnings.warn(
-        f"Fused PIV kernel failed for this configuration ({last_err}); "
-        "falling back to the XLA pipeline.",
-        stacklevel=2,
-    )
+    # observable warning rather than a hard failure (strict mode: an error).
+    _fallback("piv_pairs_fused", "xla", last_err, "fused PIV kernel")
     u, v, cmax, s2n = piv_ops.piv_pairs(imgs, dim_size, sas, overlap, n_rows, n_cols, signal_threshold)
     if pair_stride != 1:
         return u[::pair_stride], v[::pair_stride], cmax[::pair_stride], s2n[::pair_stride]
@@ -1798,6 +1869,13 @@ def piv_ensemble_fused(
     VMEM (both the tileband <32 px and sliced >=32 px kernels); True/False
     force it (tests).
     """
+    if interpret and _interpret_needs_cpu_pin():
+        # see _interpret_needs_cpu_pin
+        with jax.default_device(jax.devices("cpu")[0]):
+            return piv_ensemble_fused(
+                np.asarray(imgs), dim_size, sas, overlap, n_rows, n_cols,
+                corr_min, s2n_min, signal_threshold, interpret, share_fwd,
+            )
     from . import piv as piv_ops
 
     wy, wx = sas
@@ -1805,6 +1883,7 @@ def piv_ensemble_fused(
     step_y = piv_ops._strided_axis_starts(np.asarray(row0), wy)
     step_x = piv_ops._strided_axis_starts(np.asarray(col0), wx)
     if not _fused_geometry_ok(wy, wx, step_y, step_x) or signal_threshold is not None:
+        _route("piv_ensemble_fused", "xla_geometry")
         return piv_ops.piv_ensemble_scan(
             imgs, dim_size, sas, overlap, n_rows, n_cols, corr_min, s2n_min, signal_threshold
         )
@@ -1828,12 +1907,16 @@ def piv_ensemble_fused(
             bband = _tb_bband(wx, n_cols, share=tb_share)
             while True:
                 try:
-                    return _piv_ensemble_tb_jit(
+                    out = _piv_ensemble_tb_jit(
                         imgs, (wy, wx), (step_y, step_x), n_rows, n_cols,
                         float(corr_min), float(s2n_min), bool(interpret), bband,
                         tb_share,
                     )
+                    _route("piv_ensemble_fused", "tileband")
+                    return out
                 except Exception as e:
+                    if not _recoverable(e):
+                        raise  # programming error, never a fallback condition
                     msg = str(e).lower()
                     # match only the scoped-VMEM overflow, not every message
                     # that prints a "memory space vmem" block spec
@@ -1848,24 +1931,22 @@ def piv_ensemble_fused(
                     tb_failed = e
                     break
         if tb_failed is not None:
-            import warnings
-
-            warnings.warn(
-                f"Tileband ensemble kernel failed ({tb_failed}); "
-                "falling back to the sliced ensemble kernel.",
-                stacklevel=2,
-            )
+            _fallback("piv_ensemble_fused", "sliced", tb_failed, "tileband ensemble kernel")
     # share-ladder: auto (cache forward spectra if they fit) -> no-share on a
     # scoped-VMEM overflow (the host-side fit model can be wrong) -> XLA scan
     attempts = [share_fwd] if share_fwd is not None else [None, False]
     last_err = None
     for i_att, share in enumerate(attempts):
         try:
-            return _piv_ensemble_fused_jit(
+            out = _piv_ensemble_fused_jit(
                 imgs, (wy, wx), (step_y, step_x), n_rows, n_cols,
                 float(corr_min), float(s2n_min), bool(interpret), share,
             )
+            _route("piv_ensemble_fused", "sliced")
+            return out
         except Exception as e:
+            if not _recoverable(e):
+                raise  # programming error, never a fallback condition
             last_err = e
             msg = str(e)
             if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg:
@@ -1874,12 +1955,8 @@ def piv_ensemble_fused(
                 continue
             break
     # degrade to the slower-but-correct XLA scan on any Pallas failure
-    import warnings
-
-    warnings.warn(
-        f"Fused ensemble kernel failed to compile ({last_err}); falling back to the XLA scan.",
-        stacklevel=2,
-    )
+    # (strict mode: an error)
+    _fallback("piv_ensemble_fused", "xla_scan", last_err, "fused ensemble kernel")
     return piv_ops.piv_ensemble_scan(
         imgs, dim_size, sas, overlap, n_rows, n_cols, corr_min, s2n_min, signal_threshold
     )

@@ -11,6 +11,11 @@ import os
 # vars alone are not enough — override the live jax config before any backend
 # initialization. Tests need the virtual 8-device CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# any exception-driven kernel fallback (fused Pallas kernel fails, ladder
+# downgrades to a slower variant) is a hard FAILURE under pytest: tests must
+# exercise the kernel they claim to, never a silent downgrade. Geometry-based
+# routing (non-square windows -> XLA) is intended behavior and stays allowed.
+os.environ["PYORC_TPU_STRICT_KERNELS"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -241,6 +241,9 @@ def test_fused_small_windows_match_xla(rng, sas, dims):
         np.asarray(t)
         for t in piv_pallas.piv_pairs_fused(imgs, (h, w), sas, overlap, n_rows, n_cols, interpret=True)
     ]
+    # a silent downgrade to the XLA pipeline would make this test vacuous
+    want = "tileband" if sas[0] < 32 else "sliced"
+    assert piv_pallas.KERNEL_ROUTE["piv_pairs_fused"] == want
     for x, f in zip(out_x[:2], out_f[:2]):  # u, v
         assert x.shape == f.shape
         assert (np.isnan(x) == np.isnan(f)).all()
@@ -450,6 +453,10 @@ def test_fused_ensemble_small_windows_match_scan(rng, sas, dims):
     out = piv_pallas.piv_ensemble_fused(
         frames, (h, w), sas, overlap, n_rows, n_cols, corr_min=0.1, s2n_min=1.5, interpret=True
     )
+    # the packed kernel must actually have run — a silent downgrade to the
+    # XLA scan would make this test vacuous (round-4 regression)
+    want = "tileband" if sas[0] < 32 else "sliced"
+    assert piv_pallas.KERNEL_ROUTE["piv_ensemble_fused"] == want
     for name, a, b in zip(("corr_sum", "count", "cmax", "s2n"), ref, out):
         a, b = np.asarray(a), np.asarray(b)
         assert a.shape == b.shape, name
@@ -500,9 +507,16 @@ def test_tileband_ensemble_shared_forward_matches_unshared(rng, win):
     shared = piv_pallas.piv_ensemble_fused(
         frames, (h, w), sas, ov, n_rows, n_cols, share_fwd=True, **kw
     )
+    assert piv_pallas.KERNEL_ROUTE["piv_ensemble_fused"] == "tileband"
     plain = piv_pallas.piv_ensemble_fused(
         frames, (h, w), sas, ov, n_rows, n_cols, share_fwd=False, **kw
     )
+    assert piv_pallas.KERNEL_ROUTE["piv_ensemble_fused"] == "tileband"
+    # the cache is only a real optimization if both calls ran the tileband
+    # kernel AND differ from the XLA scan's op ordering — also require the
+    # shared path to match the scan loosely, proving real numbers flowed
+    ref = piv.piv_ensemble_scan(frames, (h, w), sas, ov, n_rows, n_cols, corr_min=0.1, s2n_min=1.5)
+    assert np.allclose(np.asarray(shared[0]), np.asarray(ref[0]), atol=5e-3)
     for name, a, b in zip(("corr_sum", "count", "cmax", "s2n"), shared, plain):
         assert np.array_equal(np.asarray(a), np.asarray(b), equal_nan=True), name
 
@@ -618,3 +632,80 @@ def test_geul_16px_native_resolution_on_cpu(monkeypatch):
     med_u = float(np.nanmedian(ds["v_x"].values[0]))
     med_v = float(np.nanmedian(ds["v_y"].values[0]))
     assert abs(med_u - 2.0) < 0.5 and abs(med_v - 1.0) < 0.5
+
+
+def test_strict_mode_propagates_kernel_programming_errors(rng, monkeypatch):
+    """A TypeError/ValueError from a miswired kernel (the round-4 regression:
+    an operand added to the kernel signature but not the pallas_call) must
+    propagate — never be swallowed by the fallback ladder, in or out of
+    strict mode."""
+    from pyorc_tpu.ops import piv_pallas
+
+    img = make_particle_image(rng, 72, 160)
+    frames = np.stack([shift_image(img, t, -t) for t in range(3)]).astype(np.float32)
+    n_rows, n_cols = windows.get_field_shape((72, 160), (16, 16), (8, 8))
+
+    def boom(*a, **k):
+        raise TypeError("_tb_ens_kernel() missing 1 required positional argument: 'sems'")
+
+    monkeypatch.setattr(piv_pallas, "_piv_ensemble_tb_jit", boom)
+    with pytest.raises(TypeError, match="missing 1 required positional"):
+        piv_pallas.piv_ensemble_fused(
+            frames, (72, 160), (16, 16), (8, 8), n_rows, n_cols, interpret=True
+        )
+    # ...even with strict mode off (a bug is a bug, not a resource condition)
+    monkeypatch.setenv("PYORC_TPU_STRICT_KERNELS", "0")
+    with pytest.raises(TypeError):
+        piv_pallas.piv_ensemble_fused(
+            frames, (72, 160), (16, 16), (8, 8), n_rows, n_cols, interpret=True
+        )
+    monkeypatch.setattr(piv_pallas, "_piv_pairs_fused_strips", boom)
+    with pytest.raises(TypeError):
+        piv_pallas.piv_pairs_fused(
+            frames, (72, 160), (16, 16), (8, 8), n_rows, n_cols, interpret=True
+        )
+
+
+def test_strict_mode_errors_on_recoverable_fallback(rng, monkeypatch):
+    """Under PYORC_TPU_STRICT_KERNELS (set in conftest) a compiler-style
+    failure that would normally downgrade to a slower kernel raises instead,
+    so CI can never green-light a silent perf regression."""
+    from pyorc_tpu.ops import piv_pallas
+
+    img = make_particle_image(rng, 72, 160)
+    frames = np.stack([shift_image(img, t, -t) for t in range(3)]).astype(np.float32)
+    n_rows, n_cols = windows.get_field_shape((72, 160), (16, 16), (8, 8))
+
+    def mosaic_boom(*a, **k):
+        raise RuntimeError("Mosaic lowering failed: unsupported something")
+
+    monkeypatch.setattr(piv_pallas, "_piv_ensemble_tb_jit", mosaic_boom)
+    with pytest.raises(RuntimeError, match="STRICT_KERNELS"):
+        piv_pallas.piv_ensemble_fused(
+            frames, (72, 160), (16, 16), (8, 8), n_rows, n_cols, interpret=True
+        )
+    # with strict mode off the ladder downgrades with a warning and records
+    # the route it took
+    monkeypatch.setenv("PYORC_TPU_STRICT_KERNELS", "0")
+    with pytest.warns(UserWarning, match="falling back to sliced"):
+        piv_pallas.piv_ensemble_fused(
+            frames, (72, 160), (16, 16), (8, 8), n_rows, n_cols, interpret=True
+        )
+    assert piv_pallas.KERNEL_ROUTE["piv_ensemble_fused"] == "sliced"
+
+
+def test_interpret_mode_pins_to_cpu(monkeypatch):
+    """Interpret-mode kernels must never execute on a non-CPU backend: the
+    Pallas interpreter's jax-op emulation silently computes garbage through
+    the tunneled axon TPU backend (measured: constant displacement fields).
+    The fused entrypoints re-enter themselves under jax.default_device(cpu)
+    exactly once."""
+    import jax
+
+    from pyorc_tpu.ops import piv_pallas
+
+    monkeypatch.setattr(piv_pallas.jax, "default_backend", lambda: "tpu")
+    assert piv_pallas._interpret_needs_cpu_pin()
+    with jax.default_device(jax.devices("cpu")[0]):
+        # inside the pin the guard must release, or the entrypoints recurse
+        assert not piv_pallas._interpret_needs_cpu_pin()

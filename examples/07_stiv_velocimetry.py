@@ -94,13 +94,70 @@ def main():
     print(f"STIV profile         : {vp.shape[1]} points, spread {np.nanstd(vp):.4f} m/s")
     assert np.nanstd(vp) < 0.1 * V_TRUE
 
-    # 3. the service/recipe route (what `pyorc-tpu velocimetry` runs):
-    #    explicit centres variant of the YAML above
-    from pyorc_tpu.service.velocimetry import VelocityFlowProcessor
-
-    stage = VelocityFlowProcessor.stiv  # the recipe section lands here
-    print(f"recipe `stiv:` section handled by {stage.__qualname__}")
+    # 3. the service/recipe route (what `pyorc-tpu velocimetry` runs): the
+    #    ACTUAL pipeline on the geul sample clip, with a `stiv:` recipe
+    #    section resampling search lines along a cross-section geojson
+    run_stiv_recipe()
     print("STIV example OK")
+
+
+def run_stiv_recipe():
+    """Execute the `stiv:` recipe stage through the real service pipeline."""
+    import os
+    import tempfile
+
+    import pyorc_tpu
+    from pyorc_tpu.cli import cli_utils
+    from pyorc_tpu.service import velocity_flow
+
+    ref = "/root/reference/examples/geul"
+    video, cfg = os.path.join(ref, "dk_control.mp4"), os.path.join(ref, "dk_cam_config.json")
+    if not os.path.isfile(video):
+        print("geul sample data unavailable — skipping the recipe run")
+        return
+
+    # a straight cross-section spanning the AOI, written as geojson the way a
+    # user would supply one (`shapefile:` in the YAML recipe)
+    cc = pyorc_tpu.load_camera_config(cfg)
+    corners = np.asarray(cc.bbox.exterior.coords)
+    p_left, p_right = (corners[0] + corners[1]) / 2, (corners[2] + corners[3]) / 2
+    xs, ys = np.linspace(p_left[0], p_right[0], 9), np.linspace(p_left[1], p_right[1], 9)
+    gj = {
+        "type": "FeatureCollection",
+        "crs": {"type": "name", "properties": {"name": "urn:ogc:def:crs:EPSG::28992"}},
+        "features": [
+            {"type": "Feature", "properties": {},
+             "geometry": {"type": "Point", "coordinates": [float(x), float(y), float(cc.gcps["z_0"])]}}
+            for x, y in zip(xs, ys)
+        ],
+    }
+    with tempfile.TemporaryDirectory() as out:
+        cross_fn = os.path.join(out, "cross.geojson")
+        with open(cross_fn, "w") as f:
+            json.dump(gj, f)
+        recipe = cli_utils.validate_recipe({
+            "video": {"start_frame": 0, "end_frame": 6, "h_a": 92.36},
+            "frames": {"normalize": {"samples": 2}},
+            "velocimetry": {"get_piv": {"window_size": 32}, "write": True},
+            "stiv": {
+                "write": True,
+                "left_to_right": {"shapefile": cross_fn, "length": 2.0, "distance": 1.0},
+            },
+        })
+        camconfig = cli_utils.parse_camconfig(None, None, cfg)
+        velocity_flow(
+            recipe=recipe, videofile=video, cameraconfig=camconfig,
+            prefix="", output=out, h_a=92.36,
+        )
+        fn = os.path.join(out, "stiv_left_to_right.nc")
+        assert os.path.isfile(fn), "stiv recipe stage wrote no netCDF"
+        ds = pyorc_tpu.open_dataset(fn)
+        v = np.asarray(ds["v"].values)
+        coh = np.asarray(ds["coherence"].values)
+        assert np.isfinite(v).any(), "stiv recipe produced no finite velocities"
+        print(f"recipe `stiv:` stage -> {os.path.basename(fn)}: "
+              f"{np.isfinite(v).sum()}/{v.size} finite v, coherence "
+              f"{np.nanmin(coh):.2f}-{np.nanmax(coh):.2f}")
 
 
 if __name__ == "__main__":

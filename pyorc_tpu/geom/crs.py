@@ -1,28 +1,39 @@
-"""Coordinate reference systems without PROJ.
+"""Coordinate reference systems without pyproj.
 
 The reference delegates CRS handling to pyproj/rasterio (reference
-``pyorc/helpers.py:299-333,916-954``); neither is available here, so we
-implement the projection families river cameras actually use:
+``pyorc/helpers.py:299-333,916-954``); neither python package is available
+here, so we implement the projection MATH ourselves for the families river
+cameras actually use:
 
 - Transverse Mercator on arbitrary ellipsoids (Karney's 6th-order Krüger
   series, sub-millimetre) — WGS84/UTM (326xx/327xx), ETRS89/UTM (258xx),
-  NAD83/UTM (269xx), GDA94/MGA (283xx), OSGB36/British National Grid (27700)
+  NAD83/UTM (269xx), GDA94/MGA (283xx), OSGB36/British National Grid (27700),
+  NZTM2000 (2193), and every other EPSG TM grid
 - Oblique Stereographic (EPSG method 9809, e.g. Dutch RD New / EPSG:28992)
 - Lambert Conformal Conic 1SP/2SP (EPSG methods 9801/9802, e.g. RGF93 /
-  Lambert-93 EPSG:2154, Belgian Lambert 72 EPSG:31370)
+  Lambert-93 EPSG:2154, Belgian Lambert 72 EPSG:31370, the NAD83 US State
+  Plane LCC zones incl. US-survey-foot units)
+- Polar Stereographic variants A/B (EPSG methods 9810/9829, e.g. UPS
+  EPSG:5041/5042, Antarctic Polar Stereographic EPSG:3031)
 
-all with 7-parameter Helmert datum shifts to WGS84 where the datum is not
-WGS84-equivalent, plus WKT/EPSG/proj4 string parsing sufficient to read
-reference camera-config JSONs unchanged and to accept any TM / LCC /
-oblique-stereographic CRS given as WKT. Unknown projected WKTs still parse
-(the pipeline runs entirely in projected coordinates); only lon/lat
-conversion raises for them.
+EPSG-code resolution is registry-driven: a compact built-in table covers the
+common European/US/AU grids offline, and ANY other EPSG code resolves through
+the system PROJ database when present (``projinfo -o PROJJSON``, data lookup
+only — all projection/datum math stays in this module). Non-metre axis units
+(US survey foot, foot) are handled via a per-CRS unit factor. 7-parameter
+Helmert datum shifts bridge non-WGS84-equivalent datums; WKT/EPSG/proj4
+string parsing reads reference camera-config JSONs unchanged. Unknown
+projected WKTs still parse (the pipeline runs entirely in projected
+coordinates); only lon/lat conversion raises for them.
 """
 
 from __future__ import annotations
 
+import functools
+import json
 import math
 import re
+import subprocess
 from typing import Optional, Tuple, Union
 
 import numpy as np
@@ -285,6 +296,74 @@ class _LambertConformal:
         return np.degrees(lon), np.degrees(phi)
 
 
+class _PolarStereo:
+    """Polar Stereographic, EPSG methods 9810 (variant A: scale factor at the
+    pole) and 9829 (variant B: standard parallel). IOGP Guidance Note 7-2
+    §3.2.3 formulas; the pole aspect follows the sign of ``lat0``
+    (variant A: ±90) or ``lat_ts`` (variant B)."""
+
+    def __init__(self, a: float, inv_f: float, lon0: float, fe: float, fn_: float,
+                 lat0: float = 90.0, k0: Optional[float] = None, lat_ts: Optional[float] = None):
+        self.a, self.inv_f = a, inv_f
+        f = 1.0 / inv_f
+        self.e = math.sqrt(f * (2 - f))
+        self.lon0, self.fe, self.fn = lon0, fe, fn_
+        self.lat_ts = lat_ts
+        self.north = (lat_ts if lat_ts is not None else lat0) >= 0
+        self.lat0 = 90.0 if self.north else -90.0
+        e = self.e
+        self._c = math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+        if k0 is None:
+            # variant B: k0 implied by the standard parallel
+            pf = math.radians(lat_ts)
+            sf = math.sin(pf)
+            mf = math.cos(pf) / math.sqrt(1 - e * e * sf * sf)
+            if self.north:
+                tf = math.tan(math.pi / 4 - pf / 2) * ((1 + e * sf) / (1 - e * sf)) ** (e / 2)
+            else:
+                tf = math.tan(math.pi / 4 + pf / 2) / ((1 + e * sf) / (1 - e * sf)) ** (e / 2)
+            k0 = mf * self._c / (2 * tf)
+        self.k0 = k0
+
+    def _t(self, lat):
+        s = np.sin(lat)
+        if self.north:
+            return np.tan(math.pi / 4 - lat / 2) * ((1 + self.e * s) / (1 - self.e * s)) ** (self.e / 2)
+        return np.tan(math.pi / 4 + lat / 2) / ((1 + self.e * s) / (1 - self.e * s)) ** (self.e / 2)
+
+    def forward(self, lon, lat):
+        lon = np.radians(np.asarray(lon, dtype=np.float64))
+        lat = np.radians(np.asarray(lat, dtype=np.float64))
+        t = self._t(lat)
+        rho = 2 * self.a * self.k0 * t / self._c
+        dlon = lon - math.radians(self.lon0)
+        E = self.fe + rho * np.sin(dlon)
+        N = self.fn - rho * np.cos(dlon) if self.north else self.fn + rho * np.cos(dlon)
+        return E, N
+
+    def reverse(self, E, N):
+        dE = np.asarray(E, dtype=np.float64) - self.fe
+        dN = np.asarray(N, dtype=np.float64) - self.fn
+        rho = np.sqrt(dE * dE + dN * dN)
+        t = rho * self._c / (2 * self.a * self.k0)
+        if self.north:
+            chi = math.pi / 2 - 2 * np.arctan(t)
+            lon = math.radians(self.lon0) + np.arctan2(dE, -dN)
+        else:
+            chi = 2 * np.arctan(t) - math.pi / 2
+            lon = math.radians(self.lon0) + np.arctan2(dE, dN)
+        e2 = self.e * self.e
+        e4, e6, e8 = e2 * e2, e2**3, e2**4
+        phi = (
+            chi
+            + (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * np.sin(2 * chi)
+            + (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * np.sin(4 * chi)
+            + (7 * e6 / 120 + 81 * e8 / 1120) * np.sin(6 * chi)
+            + (4279 * e8 / 161280) * np.sin(8 * chi)
+        )
+        return np.degrees(lon), np.degrees(phi)
+
+
 # -- geocentric conversions + Helmert (position-vector convention) --------------------
 
 
@@ -335,7 +414,28 @@ _TOWGS84 = {
     # OSGB36 -> WGS84 (EPSG:1314 position-vector)
     "OSGB 1936": (446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489),
     "OSGB36": (446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489),
+    # the PROJJSON spelling of the OSGB36 datum (projinfo EPSG:27700)
+    "Ordnance Survey of Great Britain 1936": (446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489),
 }
+
+# datums whose EPSG-canonical transformation to WGS84 is the null
+# transformation at the GCP accuracy floor (<~1-2 m): modern geocentric
+# ITRF-aligned frames. Matched as name PREFIXES against PROJJSON datum /
+# datum-ensemble names (which carry realization suffixes like "(2011)").
+_NULL_DATUM_PREFIXES = (
+    "World Geodetic System 1984",
+    "European Terrestrial Reference System 1989",
+    "North American Datum 1983",  # incl. (2011)/(CSRS...) realizations
+    "Geocentric Datum of Australia",
+    "New Zealand Geodetic Datum 2000",
+    "Japanese Geodetic Datum 2000",
+    "Japanese Geodetic Datum 2011",
+    "Reseau Geodesique Francais 1993",
+    "China 2000",
+    "Korean Geodetic Datum 2002",
+    "SIRGAS 2000",
+    "ETRS89",
+)
 
 _ELLIPSOIDS = {
     "Bessel 1841": (6377397.155, 299.1528128),
@@ -346,6 +446,71 @@ _ELLIPSOIDS = {
     "Clarke 1866": (6378206.4, 294.978698213898),
     "Airy 1830": (6377563.396, 299.3249646),
 }
+
+
+@functools.lru_cache(maxsize=256)
+def _projinfo_json(code: int) -> Optional[dict]:
+    """PROJJSON for an EPSG code from the system PROJ database (``projinfo``,
+    shipped with PROJ ≥ 6). Registry-data lookup only — every projection and
+    datum computation stays in this module. None when projinfo or the code
+    is unavailable (deployments without PROJ keep the built-in registry)."""
+    try:
+        out = subprocess.run(
+            ["projinfo", f"EPSG:{int(code)}", "-o", "PROJJSON", "-q"],
+            capture_output=True, text=True, timeout=30,
+        )
+    except (OSError, subprocess.SubprocessError):
+        return None
+    if out.returncode != 0 or not out.stdout.strip():
+        return None
+    try:
+        return json.loads(out.stdout)
+    except ValueError:
+        return None
+
+
+def _unit_factor(unit) -> float:
+    """Multiplier to SI (metres for lengths, degrees for angles)."""
+    if isinstance(unit, dict):
+        f = float(unit.get("conversion_factor", 1.0))
+        if unit.get("type") == "AngularUnit":
+            return math.degrees(f)  # conversion_factor is to radians
+        return f
+    return {
+        "metre": 1.0, "meter": 1.0, "degree": 1.0, "unity": 1.0,
+        "US survey foot": 1200.0 / 3937.0, "foot": 0.3048,
+        "grad": 0.9,
+    }.get(unit, 1.0)
+
+
+def _param_si(prm: dict) -> float:
+    """A PROJJSON conversion parameter in SI units (m / degrees / unitless)."""
+    return float(prm["value"]) * _unit_factor(prm.get("unit", "unity"))
+
+
+def _datum_towgs84(datum_name: str) -> Optional[tuple]:
+    """Helmert parameters to WGS84 for a PROJJSON datum name.
+
+    None (the null transformation) for modern ITRF-aligned frames, a table
+    entry for classical datums we know, and None-with-a-warning otherwise —
+    matching the WKT parser's silent-null for unknown datums, but observable.
+    """
+    if not datum_name:
+        return None
+    if datum_name in _TOWGS84:
+        return _TOWGS84[datum_name]
+    for prefix in _NULL_DATUM_PREFIXES:
+        if datum_name.startswith(prefix):
+            return None
+    import warnings
+
+    warnings.warn(
+        f"datum {datum_name!r} has no known transformation to WGS84; assuming the "
+        f"null transformation (projected coordinates are unaffected; lon/lat may be "
+        f"offset by the datum difference)",
+        stacklevel=3,
+    )
+    return None
 
 
 class CRS:
@@ -362,11 +527,13 @@ class CRS:
         geographic: bool = False,
         stereo: Optional["_ObliqueStereo"] = None,
         lcc: Optional["_LambertConformal"] = None,
+        polar: Optional["_PolarStereo"] = None,
         towgs84: Optional[tuple] = None,
         ellipsoid: tuple = (6378137.0, 298.257223563),
         opaque_projected: bool = False,
         lat0: float = 0.0,
         name: Optional[str] = None,
+        unit: float = 1.0,  # metres per CRS axis unit (US survey foot: 1200/3937)
     ):
         self.epsg = epsg
         self.wkt = wkt
@@ -378,10 +545,12 @@ class CRS:
         self.geographic = geographic
         self.stereo = stereo
         self.lcc = lcc
+        self.polar = polar
         self.towgs84 = towgs84
         self.ellipsoid = ellipsoid
         self.opaque_projected = opaque_projected
         self.name = name
+        self.unit = unit
 
     # -- constructors ------------------------------------------------------------
 
@@ -454,12 +623,133 @@ class CRS:
             return cls(epsg=code, lon0=-2.0, lat0=49.0, k0=0.9996012717, false_easting=400000.0,
                        false_northing=-100000.0, ellipsoid=(a, inv_f),
                        towgs84=_TOWGS84["OSGB 1936"], name="OSGB36 / British National Grid")
+        # anything else resolves through the system PROJ EPSG database (data
+        # lookup only; the projection math stays in this module)
+        d = _projinfo_json(code)
+        if d is not None:
+            return cls._from_projjson(d, code)
         raise NotImplementedError(
-            f"EPSG:{code} not supported — supported CRS: EPSG:4326 (WGS84), WGS84/UTM "
+            f"EPSG:{code} not in the built-in registry and the system PROJ database "
+            f"(projinfo) is unavailable — built-in CRS: EPSG:4326 (WGS84), WGS84/UTM "
             f"(EPSG:326xx/327xx), ETRS89/UTM (258xx), NAD83/UTM (269xx), GDA94/MGA (283xx), "
             f"RD New (28992), Lambert-93 (2154), Belgian Lambert 72 (31370), British National "
             f"Grid (27700), plus any Transverse Mercator / Oblique Stereographic / Lambert "
-            f"Conformal Conic CRS given as WKT"
+            f"Conformal Conic / Polar Stereographic CRS given as WKT"
+        )
+
+    @classmethod
+    def _from_projjson(cls, d: dict, code: int) -> "CRS":
+        """Build a CRS from a PROJJSON document (EPSG registry data; the
+        projection and datum math is this module's own — parity contract:
+        reference accepts any pyproj CRS, pyorc/helpers.py:299-333)."""
+        typ = d.get("type")
+        name = d.get("name")
+        if typ == "BoundCRS":
+            # source CRS + an explicit transformation to WGS84 (towgs84-style)
+            inner = cls._from_projjson(d["source_crs"], code)
+            par = {p["name"]: p["value"] for p in d.get("transformation", {}).get("parameters", [])}
+            keys = ("X-axis translation", "Y-axis translation", "Z-axis translation",
+                    "X-axis rotation", "Y-axis rotation", "Z-axis rotation", "Scale difference")
+            if par:
+                inner.towgs84 = tuple(float(par.get(k, 0.0)) for k in keys)
+            return inner
+        if typ == "GeographicCRS":
+            crs = cls(epsg=code, geographic=True, name=name)
+            datum = d.get("datum") or d.get("datum_ensemble") or {}
+            ell = datum.get("ellipsoid", {})
+            if "semi_major_axis" in ell:
+                crs.ellipsoid = (float(ell["semi_major_axis"]),
+                                 float(ell.get("inverse_flattening", 298.257223563)))
+            crs.towgs84 = _datum_towgs84(datum.get("name", ""))
+            return crs
+        if typ != "ProjectedCRS":
+            raise NotImplementedError(f"EPSG:{code}: unsupported PROJJSON CRS type {typ!r}")
+
+        base = d["base_crs"]
+        datum = base.get("datum") or base.get("datum_ensemble") or {}
+        ell = datum.get("ellipsoid", {})
+        if "inverse_flattening" not in ell:
+            raise NotImplementedError(f"EPSG:{code}: non-ellipsoidal base ({ell.get('name')})")
+        a = float(ell["semi_major_axis"])
+        inv_f = float(ell["inverse_flattening"])
+        towgs84 = _datum_towgs84(datum.get("name", ""))
+
+        conv = d["conversion"]
+        method = conv["method"]
+        mcode = int(method.get("id", {}).get("code", 0))
+        mname = method.get("name", "")
+        p = {}
+        for prm in conv["parameters"]:
+            p[prm["name"]] = _param_si(prm)
+        # axis unit: metres per unit (EPSG projected CRSs never mix axis units)
+        factors = [_unit_factor(ax.get("unit", "metre"))
+                   for ax in d.get("coordinate_system", {}).get("axis", [])]
+        unit = factors[0] if factors and all(f == factors[0] for f in factors) else 1.0
+
+        common = dict(epsg=code, ellipsoid=(a, inv_f), towgs84=towgs84, name=name, unit=unit)
+        if mcode == 9807 or re.search(r"^Transverse Mercator$", mname):
+            return cls(
+                lon0=p.get("Longitude of natural origin", 0.0),
+                lat0=p.get("Latitude of natural origin", 0.0),
+                k0=p.get("Scale factor at natural origin", 1.0),
+                false_easting=p.get("False easting", 0.0),
+                false_northing=p.get("False northing", 0.0),
+                **common,
+            )
+        if mcode == 9802 or "Lambert Conic Conformal (2SP" in mname:
+            lcc = _LambertConformal(
+                a, inv_f,
+                lat0=p.get("Latitude of false origin", 0.0),
+                lon0=p.get("Longitude of false origin", 0.0),
+                fe=p.get("Easting at false origin", 0.0),
+                fn_=p.get("Northing at false origin", 0.0),
+                sp1=p.get("Latitude of 1st standard parallel"),
+                sp2=p.get("Latitude of 2nd standard parallel"),
+            )
+            return cls(lcc=lcc, **common)
+        if mcode == 9801 or "Lambert Conic Conformal (1SP)" in mname:
+            lcc = _LambertConformal(
+                a, inv_f,
+                lat0=p.get("Latitude of natural origin", 0.0),
+                lon0=p.get("Longitude of natural origin", 0.0),
+                fe=p.get("False easting", 0.0),
+                fn_=p.get("False northing", 0.0),
+                k0=p.get("Scale factor at natural origin", 1.0),
+            )
+            return cls(lcc=lcc, **common)
+        if mcode == 9809 or "Oblique Stereographic" in mname:
+            st = _ObliqueStereo(
+                a, inv_f,
+                lat0=p.get("Latitude of natural origin", 0.0),
+                lon0=p.get("Longitude of natural origin", 0.0),
+                k0=p.get("Scale factor at natural origin", 1.0),
+                fe=p.get("False easting", 0.0),
+                fn_=p.get("False northing", 0.0),
+            )
+            return cls(stereo=st, **common)
+        if mcode == 9810 or "Polar Stereographic (variant A)" in mname:
+            ps = _PolarStereo(
+                a, inv_f,
+                lat0=p.get("Latitude of natural origin", 90.0),
+                lon0=p.get("Longitude of natural origin", 0.0),
+                k0=p.get("Scale factor at natural origin", 1.0),
+                fe=p.get("False easting", 0.0),
+                fn_=p.get("False northing", 0.0),
+            )
+            return cls(polar=ps, **common)
+        if mcode == 9829 or "Polar Stereographic (variant B)" in mname:
+            ps = _PolarStereo(
+                a, inv_f,
+                lat_ts=p.get("Latitude of standard parallel", -90.0),
+                lon0=p.get("Longitude of origin", 0.0),
+                fe=p.get("False easting", 0.0),
+                fn_=p.get("False northing", 0.0),
+            )
+            return cls(polar=ps, **common)
+        raise NotImplementedError(
+            f"EPSG:{code} uses projection method {mname!r} (EPSG:{mcode}), which this "
+            f"framework does not implement (supported: Transverse Mercator, Lambert "
+            f"Conformal Conic 1SP/2SP, Oblique Stereographic, Polar Stereographic A/B)"
         )
 
     @classmethod
@@ -692,8 +982,17 @@ class CRS:
             return self.epsg == other.epsg
         if self.opaque_projected or other.opaque_projected:
             return self.wkt == other.wkt
-        if (self.stereo is None) != (other.stereo is None) or (self.lcc is None) != (other.lcc is None):
+        if (
+            (self.stereo is None) != (other.stereo is None)
+            or (self.lcc is None) != (other.lcc is None)
+            or (self.polar is None) != (other.polar is None)
+            or self.unit != other.unit
+        ):
             return False
+        if self.polar is not None:
+            s, o = self.polar, other.polar
+            return (s.lat0, s.lon0, s.k0, s.fe, s.fn, s.a, s.inv_f) == (
+                o.lat0, o.lon0, o.k0, o.fe, o.fn, o.a, o.inv_f)
         if self.stereo is not None:
             s, o = self.stereo, other.stereo
             return (s.lat0, s.lon0, s.k0, s.fe, s.fn, s.a, s.f) == (o.lat0, o.lon0, o.k0, o.fe, o.fn, o.a, o.f)
@@ -744,10 +1043,15 @@ class CRS:
                 "lon/lat conversion for this projected CRS is not supported (unknown projection "
                 "method in WKT); the velocimetry pipeline itself runs fully in projected coordinates"
             )
+        if self.unit != 1.0:  # axis units (e.g. US survey foot) -> metres
+            x = np.asarray(x, dtype=np.float64) * self.unit
+            y = np.asarray(y, dtype=np.float64) * self.unit
         if self.stereo is not None:
             lon, lat = self.stereo.reverse(x, y)
         elif self.lcc is not None:
             lon, lat = self.lcc.reverse(x, y)
+        elif self.polar is not None:
+            lon, lat = self.polar.reverse(x, y)
         else:
             a, inv_f = self.ellipsoid
             lon, lat = _tm_reverse(
@@ -766,12 +1070,18 @@ class CRS:
             )
         lon, lat = self._datum_from_wgs84(lon, lat)
         if self.stereo is not None:
-            return self.stereo.forward(lon, lat)
-        if self.lcc is not None:
-            return self.lcc.forward(lon, lat)
-        a, inv_f = self.ellipsoid
-        return _tm_forward(lon, lat, self.lon0, self.k0, self.false_easting, self.false_northing,
-                           a=a, f=1.0 / inv_f, lat0=self.lat0)
+            E, N = self.stereo.forward(lon, lat)
+        elif self.lcc is not None:
+            E, N = self.lcc.forward(lon, lat)
+        elif self.polar is not None:
+            E, N = self.polar.forward(lon, lat)
+        else:
+            a, inv_f = self.ellipsoid
+            E, N = _tm_forward(lon, lat, self.lon0, self.k0, self.false_easting,
+                               self.false_northing, a=a, f=1.0 / inv_f, lat0=self.lat0)
+        if self.unit != 1.0:  # metres -> axis units (e.g. US survey foot)
+            return E / self.unit, N / self.unit
+        return E, N
 
 
 def transform_points(src: Union[CRS, int, str], dst: Union[CRS, int, str], x, y) -> Tuple[np.ndarray, np.ndarray]:

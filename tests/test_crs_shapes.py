@@ -323,3 +323,84 @@ def test_point_in_polygon_vectorized(rng):
     inside = shapes.points_in_polygon(pts, ring)
     expected = (pts[:, 0] >= 0) & (pts[:, 0] <= 10) & (pts[:, 1] >= 0) & (pts[:, 1] <= 10)
     assert (inside == expected).mean() > 0.99  # boundary-grazing points may differ
+
+
+# -- EPSG registry (projinfo-backed) golden tests ------------------------------
+# Golden values generated with PROJ 9.1.1 cs2cs from the system EPSG database
+# (`echo "<lat> <lon>" | cs2cs -f %.6f EPSG:4326 EPSG:<code>`), i.e. the same
+# authority the reference's pyproj consults (reference helpers.py:299-333).
+# Each case is a different projection family / unit / datum path.
+
+_EPSG_GOLDEN = [
+    # code, lon, lat, easting, northing, family
+    (2193, 174.77, -41.28, 1748231.069, 5428648.726, "NZTM2000 (TM, NZGD2000)"),
+    (2278, -98.5, 29.4, 2127698.984, 13693318.262, "NAD83 / Texas South Central (LCC 2SP, US survey foot)"),
+    (32119, -79.0, 35.5, 609601.220, 194128.325, "NAD83 / North Carolina (LCC 2SP, metre)"),
+    (3031, 120.0, -75.0, 1419227.916, -819391.619, "WGS84 / Antarctic Polar Stereographic (variant B, south)"),
+    (3413, -30.0, 70.0, 566277.345, -2113375.822, "WGS84 / NSIDC Arctic (polar stereo variant B, north)"),
+    (5041, 44.0, 73.0, 3320416.747, 632668.431, "WGS84 / UPS North (polar stereo variant A)"),
+    (6677, 141.0, 43.0, 95122.087, 777760.022, "JGD2011 / Japan zone XII (TM)"),
+]
+
+
+def _projinfo_available():
+    from pyorc_tpu.geom.crs import _projinfo_json
+
+    return _projinfo_json(2193) is not None
+
+
+@pytest.mark.skipif(not _projinfo_available(), reason="system PROJ database unavailable")
+@pytest.mark.parametrize("code,lon,lat,e,n,family", _EPSG_GOLDEN, ids=[c[5] for c in _EPSG_GOLDEN])
+def test_epsg_registry_golden(code, lon, lat, e, n, family):
+    """Any-EPSG resolution: forward/inverse match PROJ to sub-mm (the UPS case
+    also matches the IOGP Guidance Note 7-2 worked example: 73N 44E ->
+    E 3320416.75, N 632668.43)."""
+    from pyorc_tpu.geom.crs import CRS
+
+    crs = CRS.from_epsg(code)
+    x, y = crs.from_lonlat(lon, lat)
+    # sub-mm in native units (the ftUS golden is quoted in feet)
+    assert abs(float(x) - e) < 1e-3, (float(x), e)
+    assert abs(float(y) - n) < 1e-3, (float(y), n)
+    lon2, lat2 = crs.to_lonlat(x, y)
+    assert abs(float(lon2) - lon) < 1e-9 and abs(float(lat2) - lat) < 1e-9
+
+
+@pytest.mark.skipif(not _projinfo_available(), reason="system PROJ database unavailable")
+def test_epsg_registry_survey_foot_unit():
+    """US State Plane ftUS: the unit factor is exactly 1200/3937 m, so the
+    metre and survey-foot variants of the same zone agree after scaling."""
+    from pyorc_tpu.geom.crs import CRS
+
+    ft = CRS.from_epsg(2278)   # Texas South Central ftUS
+    m = CRS.from_epsg(32140)   # same zone, metres
+    assert ft.unit == pytest.approx(1200.0 / 3937.0, abs=1e-12)
+    lon, lat = -98.5, 29.4
+    xf, yf = ft.from_lonlat(lon, lat)
+    xm, ym = m.from_lonlat(lon, lat)
+    # sub-mm: the EPSG registry itself stores the ftUS zone's false northing
+    # rounded to 13123333.333 usft (= 3999999.9998984 m vs the metre zone's
+    # exact 4000000), so 0.1 mm is authority-data precision, not ours
+    assert abs(float(xf) * ft.unit - float(xm)) < 1e-3
+    assert abs(float(yf) * ft.unit - float(ym)) < 1e-3
+
+
+@pytest.mark.skipif(not _projinfo_available(), reason="system PROJ database unavailable")
+def test_epsg_registry_unsupported_method_is_explicit():
+    """A projection method outside the implemented set raises a clear
+    NotImplementedError naming the method, not a silent wrong answer."""
+    from pyorc_tpu.geom.crs import CRS
+
+    with pytest.raises(NotImplementedError, match="Hotine|Oblique Mercator|method"):
+        CRS.from_epsg(2056)  # Swiss LV95: Hotine Oblique Mercator (variant B)
+
+
+def test_epsg_registry_offline_fallback(monkeypatch):
+    """Without projinfo the built-in registry still covers the shipped
+    configs, and unknown codes raise the documented NotImplementedError."""
+    from pyorc_tpu.geom import crs as crs_mod
+
+    monkeypatch.setattr(crs_mod, "_projinfo_json", lambda code: None)
+    assert crs_mod.CRS.from_epsg(32735).epsg == 32735  # built-in UTM fast path
+    with pytest.raises(NotImplementedError, match="projinfo"):
+        crs_mod.CRS.from_epsg(2193)

@@ -873,6 +873,11 @@ def _tb_bband(w: int, n_cols: int, share: bool = False) -> int:
     n_t = 2 * (-(-n_cols // g2))
     plane = n_t * (py * wp) * (-(-(px * w) // 128) * 128) * 4
     per_band = (9 if share else 8) * plane
+    if share == "pairs":
+        # shared-forward PER-PAIR kernel: the spectra cache's 2 extra planes
+        # AND the peak-stencil stack's widest batch (sten5: 5 planes) are
+        # both live in the same launch
+        per_band = 10 * plane
     return max(1, min(int((11 << 20) // per_band), 4))
 
 
@@ -1387,6 +1392,89 @@ def _piv_ensemble_tb_jit(
     return corr_sum, corr_count, cmax, s2n
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+def _piv_pairs_sf_jit(imgs, sas, steps, n_rows, n_cols, interpret, bband, share_fwd=True):
+    """Shared-forward per-pair tileband PIV (50%-overlap square windows < 32 px).
+
+    Launches ``_tb_ens_kernel`` in ``mode="pairs"``: one frame-slab DMA +
+    tile build + demean + forward DFT per FRAME (cached across the two pairs
+    that touch it, 3 rotating slab buffers) instead of two per pair, finished
+    by the per-pair peak-stencil stage. Returns the ``piv_pairs`` contract:
+    (u, v, corr_max, s2n) each [n_pairs, n_rows, n_cols]. Consecutive-frame
+    stacks only (``pair_stride=2`` keeps the band kernel: interleaved pairs
+    share no frames, so there is nothing to cache).
+    """
+    wy, wx = sas
+    step_y, step_x = steps
+    w = wx
+    n_pairs = imgs.shape[0] - 1
+    py, px = _tb_shape(w)
+    wp = -(-w // 8) * 8
+    pxw = px * w
+    pwh = py * wp
+    pmx, pmy = _tb_mats(w)
+    dc_mask, cst, b1x, b1y, qt, qs = _tb_consts(w, n_cols)
+    n_t = qt.shape[0]
+    mt = bband * n_t
+    qt5 = np.tile(qt, (5 * bband, 1, 1))
+    n_strips = -(-n_rows // bband)
+    nb_pad = n_strips * bband
+    slack = 0 if step_y % 8 == 0 else 7
+    slab_h = -(-(slack + (bband - 1) * step_y + wp) // 8) * 8
+
+    w_needed = step_x * (n_cols - 1) + pxw
+    pad_w = max(w_needed - imgs.shape[-1], 0) + (-max(w_needed, imgs.shape[-1])) % 128
+    pad_h = max((n_strips - 1) * bband * step_y + slab_h - imgs.shape[-2], 0)
+    if pad_w or pad_h:
+        imgs = jnp.pad(imgs, ((0, 0), (0, pad_h), (0, pad_w)))
+    frames = imgs.astype(jnp.float32)
+    w_img = frames.shape[-1]
+
+    kernel = functools.partial(
+        _tb_ens_kernel, w=w, step_y=step_y, step_x=step_x, n_cols=n_cols,
+        n_pairs=n_pairs, corr_min=0.0, s2n_min=0.0,
+        bband=bband, slab_h=slab_h, share_fwd=bool(share_fwd), mode="pairs",
+    )
+    pair_shape = jax.ShapeDtypeStruct((n_pairs, n_strips, bband, n_cols), jnp.float32)
+    pair_spec = pl.BlockSpec(
+        (1, 1, bband, n_cols), lambda s_, p_: (p_, s_, 0, 0), memory_space=pltpu.VMEM
+    )
+    vspec = lambda *dims: pl.BlockSpec(dims, lambda s_, p_: (0,) * len(dims), memory_space=pltpu.VMEM)
+    u, v, cmax, s2n = pl.pallas_call(
+        kernel,
+        grid=(n_strips, n_pairs),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            vspec(4, pxw, pxw),
+            vspec(4, pwh, pwh),
+            vspec(pxw, pwh),
+            vspec(3, pwh, pxw),
+            vspec(pxw, px),
+            vspec(pwh, py),
+            vspec(5 * bband * n_t, py, n_cols),
+            vspec(px, n_cols),
+        ],
+        out_specs=[pair_spec] * 4,
+        out_shape=[pair_shape] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((3, slab_h, w_img), jnp.float32),
+            pltpu.VMEM(((mt if share_fwd else 2 * mt), pwh, pxw), jnp.float32),
+            pltpu.VMEM((2 * mt, pxw, pwh) if share_fwd else (8, 128), jnp.float32),
+            pltpu.VMEM((mt, py, px) if share_fwd else (8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(
+        frames, jnp.asarray(pmx), jnp.asarray(pmy), jnp.asarray(dc_mask),
+        jnp.asarray(cst), jnp.asarray(b1x), jnp.asarray(b1y), jnp.asarray(qt5),
+        jnp.asarray(qs),
+    )
+    out = []
+    for x in (u, v, cmax, s2n):
+        out.append(x.reshape(n_pairs, nb_pad, n_cols)[:, :n_rows])
+    return tuple(out)
+
+
 def piv_pairs_fused(
     imgs,
     dim_size: Tuple[int, int],
@@ -1437,9 +1525,46 @@ def piv_pairs_fused(
     last_err = None
     tileband = _tileband_ok(wy, wx, step_x, pack)
     bband = _tb_bband(wx, n_cols) if tileband else 1
+    n_pairs = imgs.shape[0] // pair_stride if pair_stride > 1 else imgs.shape[0] - 1
+    if tileband and pair_stride == 1 and n_pairs >= 2:
+        # shared-forward tileband: one slab DMA + tile build + forward DFT
+        # per FRAME (cached across the two pairs that touch it) instead of
+        # two per pair — the same structural win the ensemble kernel gets
+        # from its spectra cache, kept for per-pair outputs
+        sf_bband = _tb_bband(wx, n_cols, share="pairs")
+        while sf_bband >= 1:
+            try:
+                out = _piv_pairs_sf_jit(
+                    imgs, (wy, wx), (step_y, step_x), n_rows, n_cols,
+                    bool(interpret), sf_bband,
+                )
+                _route("piv_pairs_fused", "tileband_sf")
+                return out
+            except Exception as e:
+                if not _recoverable(e):
+                    raise  # programming error, never a fallback condition
+                last_err = e
+                msg = str(e)
+                if "vmem" in msg.lower() and sf_bband > 1:
+                    sf_bband //= 2
+                    continue
+                if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg:
+                    raise
+                break
+        # fall through to the band tileband kernel below (strict mode: error)
+        if _strict_kernels():
+            raise RuntimeError(
+                "piv_pairs_fused: shared-forward tileband kernel failed and "
+                "PYORC_TPU_STRICT_KERNELS is set (would have fallen back to "
+                "the band tileband kernel)."
+            ) from last_err
+        warnings.warn(
+            f"shared-forward tileband kernel failed ({last_err}); "
+            "falling back to the band tileband kernel.",
+            stacklevel=2,
+        )
     # pair blocking (sliced path only): share each interior frame's window
     # build + forward DFT between the two pairs that use it
-    n_pairs = imgs.shape[0] // pair_stride if pair_stride > 1 else imgs.shape[0] - 1
     ppg = 4 if (pair_stride == 1 and not tileband and n_pairs >= 4) else 1
     band_scratch = 2 * (ppg + 1) * band_h * (-(-imgs.shape[-1] // 128) * 128) * 4
     # 4 outputs x ppg pair rows, 1/8 sublane tile amortized

@@ -242,7 +242,8 @@ def test_fused_small_windows_match_xla(rng, sas, dims):
         for t in piv_pallas.piv_pairs_fused(imgs, (h, w), sas, overlap, n_rows, n_cols, interpret=True)
     ]
     # a silent downgrade to the XLA pipeline would make this test vacuous
-    want = "tileband" if sas[0] < 32 else "sliced"
+    # (<32 px consecutive-frame stacks run the shared-forward tileband kernel)
+    want = "tileband_sf" if sas[0] < 32 else "sliced"
     assert piv_pallas.KERNEL_ROUTE["piv_pairs_fused"] == want
     for x, f in zip(out_x[:2], out_f[:2]):  # u, v
         assert x.shape == f.shape
@@ -659,10 +660,21 @@ def test_strict_mode_propagates_kernel_programming_errors(rng, monkeypatch):
         piv_pallas.piv_ensemble_fused(
             frames, (72, 160), (16, 16), (8, 8), n_rows, n_cols, interpret=True
         )
-    monkeypatch.setattr(piv_pallas, "_piv_pairs_fused_strips", boom)
+    # the per-pair entrypoint: a programming error in EITHER tileband variant
+    # (shared-forward or band) must propagate, not downgrade
+    sf_orig = piv_pallas._piv_pairs_sf_jit
+    monkeypatch.setattr(piv_pallas, "_piv_pairs_sf_jit", boom)
     with pytest.raises(TypeError):
         piv_pallas.piv_pairs_fused(
             frames, (72, 160), (16, 16), (8, 8), n_rows, n_cols, interpret=True
+        )
+    monkeypatch.setattr(piv_pallas, "_piv_pairs_sf_jit", sf_orig)
+    monkeypatch.setattr(piv_pallas, "_piv_pairs_fused_strips", boom)
+    with pytest.raises(TypeError):
+        # 2 frames = 1 pair: routes to the band tileband kernel (nothing for
+        # the shared-forward cache to share)
+        piv_pallas.piv_pairs_fused(
+            frames[:2], (72, 160), (16, 16), (8, 8), n_rows, n_cols, interpret=True
         )
 
 
@@ -709,3 +721,34 @@ def test_interpret_mode_pins_to_cpu(monkeypatch):
     with jax.default_device(jax.devices("cpu")[0]):
         # inside the pin the guard must release, or the entrypoints recurse
         assert not piv_pallas._interpret_needs_cpu_pin()
+
+
+@pytest.mark.parametrize("win", [16, 26])
+def test_shared_forward_pairs_matches_band_kernel(rng, win):
+    """The shared-forward per-pair tileband kernel (one slab DMA + forward
+    DFT per FRAME, cached across the two pairs that touch it) is bit-exact
+    against the band tileband kernel: per-tile batched ops are independent
+    of batch composition."""
+    from pyorc_tpu.ops import piv_pallas
+
+    h, w_img = (72, 160) if win == 16 else (117, 208)
+    img = make_particle_image(rng, h, w_img)
+    frames = np.stack(
+        [shift_image(img, 1.5 * t, -0.75 * t) for t in range(4)]
+    ).astype(np.float32)
+    sas, ov = (win, win), (win // 2, win // 2)
+    n_rows, n_cols = windows.get_field_shape((h, w_img), sas, ov)
+
+    # >=2 pairs routes the shared-forward kernel
+    sf = [np.asarray(t) for t in piv_pallas.piv_pairs_fused(
+        frames, (h, w_img), sas, ov, n_rows, n_cols, interpret=True
+    )]
+    assert piv_pallas.KERNEL_ROUTE["piv_pairs_fused"] == "tileband_sf"
+    # a single pair has nothing to share: routes the band tileband kernel
+    for p in range(3):
+        band = [np.asarray(t) for t in piv_pallas.piv_pairs_fused(
+            frames[p : p + 2], (h, w_img), sas, ov, n_rows, n_cols, interpret=True
+        )]
+        assert piv_pallas.KERNEL_ROUTE["piv_pairs_fused"] == "tileband"
+        for name, a, b in zip(("u", "v", "cmax", "s2n"), sf, band):
+            assert np.array_equal(a[p], b[0], equal_nan=True), (name, p)

@@ -855,6 +855,33 @@ class CRS:
                 ellipsoid=(a, inv_f),
                 towgs84=datum_shift(),
             )
+        if re.search(r"Polar[\s_]*Stereographic", wkt, re.I):
+            a, inv_f = ellipsoid_of()
+            lat_ts = param([r"Latitude of standard parallel", r"standard_parallel_1"], None)
+            if lat_ts is not None:  # variant B
+                ps = _PolarStereo(
+                    a, inv_f, lat_ts=lat_ts,
+                    lon0=param([r"Longitude of origin", r"central_meridian"], 0.0),
+                    fe=param([r"False easting", r"false_easting"], 0.0),
+                    fn_=param([r"False northing", r"false_northing"], 0.0),
+                )
+            else:  # variant A
+                ps = _PolarStereo(
+                    a, inv_f,
+                    lat0=param([r"Latitude of natural origin", r"latitude_of_origin"], 90.0),
+                    lon0=param([r"Longitude of natural origin", r"central_meridian"], 0.0),
+                    k0=param([r"Scale factor at natural origin", r"scale_factor"], 1.0),
+                    fe=param([r"False easting", r"false_easting"], 0.0),
+                    fn_=param([r"False northing", r"false_northing"], 0.0),
+                )
+            ids = re.findall(r'(?:ID|AUTHORITY)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]', wkt)
+            return cls(
+                epsg=int(ids[-1]) if ids else None,
+                wkt=wkt,
+                polar=ps,
+                ellipsoid=(a, inv_f),
+                towgs84=datum_shift(),
+            )
         if re.search(r"GEOGCR?S", wkt) and not re.search(r"PROJCR?S", wkt):
             crs = cls.from_epsg(4326)
             crs.wkt = wkt
@@ -1012,8 +1039,17 @@ class CRS:
 
     def __repr__(self):
         if self.geographic:
-            return "CRS(EPSG:4326)"
-        return f"CRS(EPSG:{self.epsg or '?'}, TM lon0={self.lon0})"
+            return f"CRS(EPSG:{self.epsg or 4326}, geographic)"
+        if self.opaque_projected:
+            return "CRS(projected, unknown method)"
+        kind = (
+            "oblique-stereo" if self.stereo is not None
+            else "LCC" if self.lcc is not None
+            else "polar-stereo" if self.polar is not None
+            else f"TM lon0={self.lon0}"
+        )
+        unit = "" if self.unit == 1.0 else f", unit={self.unit:.6g} m"
+        return f"CRS(EPSG:{self.epsg or '?'}, {kind}{unit})"
 
     # -- transforms ------------------------------------------------------------
     # to_lonlat / from_lonlat speak WGS84 lon/lat; non-WGS84 datums are bridged

@@ -404,3 +404,23 @@ def test_epsg_registry_offline_fallback(monkeypatch):
     assert crs_mod.CRS.from_epsg(32735).epsg == 32735  # built-in UTM fast path
     with pytest.raises(NotImplementedError, match="projinfo"):
         crs_mod.CRS.from_epsg(2193)
+
+
+@pytest.mark.skipif(not _projinfo_available(), reason="system PROJ database unavailable")
+def test_polar_stereographic_wkt_parses():
+    """A WKT2 polar-stereographic CRS (e.g. embedded in a camera config)
+    parses into the same projection the EPSG registry path builds."""
+    import subprocess
+
+    from pyorc_tpu.geom.crs import CRS
+
+    wkt = subprocess.run(
+        ["projinfo", "EPSG:3031", "-o", "WKT2:2019", "-q"],
+        capture_output=True, text=True,
+    ).stdout
+    c_wkt = CRS.from_user_input(wkt)
+    c_epsg = CRS.from_epsg(3031)
+    assert c_wkt.polar is not None
+    e1, n1 = c_wkt.from_lonlat(120.0, -75.0)
+    e2, n2 = c_epsg.from_lonlat(120.0, -75.0)
+    assert abs(float(e1) - float(e2)) < 1e-9 and abs(float(n1) - float(n2)) < 1e-9

@@ -95,8 +95,33 @@ def render(bench: dict, name: str) -> str:
     return "\n".join(lines)
 
 
+E2E_BEGIN = "<!-- BEGIN GENERATED e2e-block (python docs/gen_perf.py) -->"
+E2E_END = "<!-- END GENERATED e2e-block -->"
+
+
+def render_e2e(e: dict) -> str:
+    """One paragraph from E2E_60S.json (the committed full-60s run)."""
+    st = e["stages_s"]
+    decode_floor = e["n_frames"] / e["decode_fps"]
+    return "\n".join([
+        E2E_BEGIN,
+        f"`E2E_60S.json` (measured at HEAD): **{e['value']} s** single-chip wall"
+        f" in this container for the {e['n_frames']}-frame 4K workload"
+        f" (stages: video_open {st['video_open']} s, lazy chain setup"
+        f" {st['lazy_chain_setup']} s, decode+ortho+PIV {st['decode_ortho_piv']} s,"
+        f" transect+discharge {st['transect_discharge']} s). The pipeline stage is"
+        f" bounded below by {decode_floor:.0f} s of single-core"
+        f" {e['decode_fps']} fps H.264 decode and dominated by ~15 GB of tunneled"
+        f" frame uploads; the labeled extrapolation"
+        f" ({e['est_v5e8_seconds_extrapolated']} s on a v5e-8 with this host) is"
+        f" decode-limited, i.e. entirely a host-CPU artifact of the"
+        f" {e['host_cores']}-core container.",
+        E2E_END,
+    ])
+
+
 def generate() -> str:
-    """The full ARCHITECTURE.md text with a fresh perf block."""
+    """The full ARCHITECTURE.md text with fresh perf + e2e blocks."""
     path, _ = newest_artifact()
     with open(path) as f:
         bench = json.load(f)
@@ -104,7 +129,14 @@ def generate() -> str:
     with open(ARCH) as f:
         text = f.read()
     i, j = text.index(BEGIN), text.index(END) + len(END)
-    return text[:i] + block + text[j:]
+    text = text[:i] + block + text[j:]
+    e2e_path = os.path.join(REPO, "E2E_60S.json")
+    if os.path.isfile(e2e_path) and E2E_BEGIN in text:
+        with open(e2e_path) as f:
+            e2e = json.load(f)
+        i, j = text.index(E2E_BEGIN), text.index(E2E_END) + len(E2E_END)
+        text = text[:i] + render_e2e(e2e) + text[j:]
+    return text
 
 
 if __name__ == "__main__":

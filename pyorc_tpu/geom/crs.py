@@ -296,6 +296,47 @@ class _LambertConformal:
         return np.degrees(lon), np.degrees(phi)
 
 
+class _Mercator:
+    """Mercator: EPSG methods 9804 (variant A, scale factor), 9805 (variant B,
+    standard parallel), and 1024 (Popular Visualisation Pseudo Mercator, the
+    Web-Mercator sphere-on-ellipsoid used by EPSG:3857)."""
+
+    def __init__(self, a: float, inv_f: float, lon0: float, fe: float, fn_: float,
+                 k0: float = 1.0, lat_ts: Optional[float] = None, spherical: bool = False):
+        self.a, self.inv_f = a, inv_f
+        f = 1.0 / inv_f
+        self.e = 0.0 if spherical else math.sqrt(f * (2 - f))
+        self.lon0, self.fe, self.fn = lon0, fe, fn_
+        self.spherical = spherical
+        self.lat_ts = lat_ts
+        if lat_ts is not None:  # variant B
+            pf = math.radians(lat_ts)
+            sf = math.sin(pf)
+            k0 = math.cos(pf) / math.sqrt(1 - self.e * self.e * sf * sf)
+        self.k0 = k0
+
+    def forward(self, lon, lat):
+        lon = np.radians(np.asarray(lon, dtype=np.float64))
+        lat = np.radians(np.asarray(lat, dtype=np.float64))
+        e, s = self.e, np.sin(lat)
+        E = self.fe + self.a * self.k0 * (lon - math.radians(self.lon0))
+        iso = np.log(np.tan(math.pi / 4 + lat / 2))
+        if e:
+            iso = iso - (e / 2) * np.log((1 + e * s) / (1 - e * s))
+        return E, self.fn + self.a * self.k0 * iso
+
+    def reverse(self, E, N):
+        lon = math.radians(self.lon0) + (np.asarray(E, dtype=np.float64) - self.fe) / (self.a * self.k0)
+        t = np.exp(-(np.asarray(N, dtype=np.float64) - self.fn) / (self.a * self.k0))
+        phi = math.pi / 2 - 2 * np.arctan(t)
+        e = self.e
+        if e:
+            for _ in range(8):
+                s = np.sin(phi)
+                phi = math.pi / 2 - 2 * np.arctan(t * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+        return np.degrees(lon), np.degrees(phi)
+
+
 class _PolarStereo:
     """Polar Stereographic, EPSG methods 9810 (variant A: scale factor at the
     pole) and 9829 (variant B: standard parallel). IOGP Guidance Note 7-2
@@ -528,6 +569,7 @@ class CRS:
         stereo: Optional["_ObliqueStereo"] = None,
         lcc: Optional["_LambertConformal"] = None,
         polar: Optional["_PolarStereo"] = None,
+        mercator: Optional["_Mercator"] = None,
         towgs84: Optional[tuple] = None,
         ellipsoid: tuple = (6378137.0, 298.257223563),
         opaque_projected: bool = False,
@@ -546,6 +588,7 @@ class CRS:
         self.stereo = stereo
         self.lcc = lcc
         self.polar = polar
+        self.mercator = mercator
         self.towgs84 = towgs84
         self.ellipsoid = ellipsoid
         self.opaque_projected = opaque_projected
@@ -687,7 +730,7 @@ class CRS:
         unit = factors[0] if factors and all(f == factors[0] for f in factors) else 1.0
 
         common = dict(epsg=code, ellipsoid=(a, inv_f), towgs84=towgs84, name=name, unit=unit)
-        if mcode == 9807 or re.search(r"^Transverse Mercator$", mname):
+        if mcode == 9807 or mname == "Transverse Mercator":
             return cls(
                 lon0=p.get("Longitude of natural origin", 0.0),
                 lat0=p.get("Latitude of natural origin", 0.0),
@@ -696,7 +739,7 @@ class CRS:
                 false_northing=p.get("False northing", 0.0),
                 **common,
             )
-        if mcode == 9802 or "Lambert Conic Conformal (2SP" in mname:
+        if mcode == 9802 or mname.startswith("Lambert Conic Conformal (2SP"):
             lcc = _LambertConformal(
                 a, inv_f,
                 lat0=p.get("Latitude of false origin", 0.0),
@@ -707,7 +750,7 @@ class CRS:
                 sp2=p.get("Latitude of 2nd standard parallel"),
             )
             return cls(lcc=lcc, **common)
-        if mcode == 9801 or "Lambert Conic Conformal (1SP)" in mname:
+        if mcode == 9801 or mname == "Lambert Conic Conformal (1SP)":
             lcc = _LambertConformal(
                 a, inv_f,
                 lat0=p.get("Latitude of natural origin", 0.0),
@@ -717,7 +760,7 @@ class CRS:
                 k0=p.get("Scale factor at natural origin", 1.0),
             )
             return cls(lcc=lcc, **common)
-        if mcode == 9809 or "Oblique Stereographic" in mname:
+        if mcode == 9809 or mname == "Oblique Stereographic":
             st = _ObliqueStereo(
                 a, inv_f,
                 lat0=p.get("Latitude of natural origin", 0.0),
@@ -727,7 +770,7 @@ class CRS:
                 fn_=p.get("False northing", 0.0),
             )
             return cls(stereo=st, **common)
-        if mcode == 9810 or "Polar Stereographic (variant A)" in mname:
+        if mcode == 9810 or mname == "Polar Stereographic (variant A)":
             ps = _PolarStereo(
                 a, inv_f,
                 lat0=p.get("Latitude of natural origin", 90.0),
@@ -737,7 +780,7 @@ class CRS:
                 fn_=p.get("False northing", 0.0),
             )
             return cls(polar=ps, **common)
-        if mcode == 9829 or "Polar Stereographic (variant B)" in mname:
+        if mcode == 9829 or mname == "Polar Stereographic (variant B)":
             ps = _PolarStereo(
                 a, inv_f,
                 lat_ts=p.get("Latitude of standard parallel", -90.0),
@@ -746,10 +789,38 @@ class CRS:
                 fn_=p.get("False northing", 0.0),
             )
             return cls(polar=ps, **common)
+        if mcode == 1024 or "Popular Visualisation Pseudo Mercator" in mname:
+            merc = _Mercator(
+                a, inv_f,
+                lon0=p.get("Longitude of natural origin", 0.0),
+                fe=p.get("False easting", 0.0),
+                fn_=p.get("False northing", 0.0),
+                spherical=True,  # sphere of radius a, geodetic latitude
+            )
+            return cls(mercator=merc, **common)
+        if mcode == 9804 or mname == "Mercator (variant A)":
+            merc = _Mercator(
+                a, inv_f,
+                lon0=p.get("Longitude of natural origin", 0.0),
+                k0=p.get("Scale factor at natural origin", 1.0),
+                fe=p.get("False easting", 0.0),
+                fn_=p.get("False northing", 0.0),
+            )
+            return cls(mercator=merc, **common)
+        if mcode == 9805 or mname == "Mercator (variant B)":
+            merc = _Mercator(
+                a, inv_f,
+                lon0=p.get("Longitude of natural origin", 0.0),
+                lat_ts=p.get("Latitude of 1st standard parallel", 0.0),
+                fe=p.get("False easting", 0.0),
+                fn_=p.get("False northing", 0.0),
+            )
+            return cls(mercator=merc, **common)
         raise NotImplementedError(
             f"EPSG:{code} uses projection method {mname!r} (EPSG:{mcode}), which this "
             f"framework does not implement (supported: Transverse Mercator, Lambert "
-            f"Conformal Conic 1SP/2SP, Oblique Stereographic, Polar Stereographic A/B)"
+            f"Conformal Conic 1SP/2SP, Oblique Stereographic, Polar Stereographic A/B, "
+            f"Mercator A/B incl. Web Mercator)"
         )
 
     @classmethod
@@ -1013,6 +1084,7 @@ class CRS:
             (self.stereo is None) != (other.stereo is None)
             or (self.lcc is None) != (other.lcc is None)
             or (self.polar is None) != (other.polar is None)
+            or (self.mercator is None) != (other.mercator is None)
             or self.unit != other.unit
         ):
             return False
@@ -1020,6 +1092,10 @@ class CRS:
             s, o = self.polar, other.polar
             return (s.lat0, s.lon0, s.k0, s.fe, s.fn, s.a, s.inv_f) == (
                 o.lat0, o.lon0, o.k0, o.fe, o.fn, o.a, o.inv_f)
+        if self.mercator is not None:
+            s, o = self.mercator, other.mercator
+            return (s.lon0, s.k0, s.fe, s.fn, s.a, s.inv_f, s.spherical) == (
+                o.lon0, o.k0, o.fe, o.fn, o.a, o.inv_f, o.spherical)
         if self.stereo is not None:
             s, o = self.stereo, other.stereo
             return (s.lat0, s.lon0, s.k0, s.fe, s.fn, s.a, s.f) == (o.lat0, o.lon0, o.k0, o.fe, o.fn, o.a, o.f)
@@ -1046,6 +1122,7 @@ class CRS:
             "oblique-stereo" if self.stereo is not None
             else "LCC" if self.lcc is not None
             else "polar-stereo" if self.polar is not None
+            else ("web-mercator" if self.mercator.spherical else "mercator") if self.mercator is not None
             else f"TM lon0={self.lon0}"
         )
         unit = "" if self.unit == 1.0 else f", unit={self.unit:.6g} m"
@@ -1088,6 +1165,8 @@ class CRS:
             lon, lat = self.lcc.reverse(x, y)
         elif self.polar is not None:
             lon, lat = self.polar.reverse(x, y)
+        elif self.mercator is not None:
+            lon, lat = self.mercator.reverse(x, y)
         else:
             a, inv_f = self.ellipsoid
             lon, lat = _tm_reverse(
@@ -1111,6 +1190,8 @@ class CRS:
             E, N = self.lcc.forward(lon, lat)
         elif self.polar is not None:
             E, N = self.polar.forward(lon, lat)
+        elif self.mercator is not None:
+            E, N = self.mercator.forward(lon, lat)
         else:
             a, inv_f = self.ellipsoid
             E, N = _tm_forward(lon, lat, self.lon0, self.k0, self.false_easting,

@@ -48,7 +48,9 @@ def test_crs_user_inputs():
     assert crs_mod.CRS.from_user_input(32735) == crs_mod.CRS.from_user_input("EPSG:32735")
     assert crs_mod.CRS.from_user_input("+proj=utm +zone=35 +south").epsg == 32735
     with pytest.raises(NotImplementedError):
-        crs_mod.CRS.from_epsg(3857)
+        # Albers Equal Area (EPSG method 9822) is genuinely unimplemented;
+        # the error must name the method (or 'projinfo' when PROJ is absent)
+        crs_mod.CRS.from_epsg(5070)
 
 
 def test_lcc_2sp_epsg_worked_example():
@@ -340,6 +342,8 @@ _EPSG_GOLDEN = [
     (3413, -30.0, 70.0, 566277.345, -2113375.822, "WGS84 / NSIDC Arctic (polar stereo variant B, north)"),
     (5041, 44.0, 73.0, 3320416.747, 632668.431, "WGS84 / UPS North (polar stereo variant A)"),
     (6677, 141.0, 43.0, 95122.087, 777760.022, "JGD2011 / Japan zone XII (TM)"),
+    (3857, 5.92, 51.97, 659011.3855, 6794702.8862, "Web Mercator (pseudo-Mercator sphere)"),
+    (3395, 5.92, 51.97, 659011.3855, 6761023.7485, "WGS84 / World Mercator (variant A)"),
 ]
 
 

@@ -1650,13 +1650,78 @@ def _fused_plan(wy: int, wx: int, step_y: int):
 
 def _tileband_ok(wy: int, wx: int, step_x: int, pack: int) -> bool:
     """The packed-domain kernel needs the standard 50%-overlap square grid
-    (step = w/2 makes even/odd windows tile contiguously). Above ~32 px the
-    sliced-pack path wins (few windows per band, so per-window slicing is
-    cheap and the tileband's blockwise stats machinery costs more than it
-    saves): measured 1080p pairs/s (v5e, 64-pair batches)
-    sliced/tileband — 16 px: 252/412, 26 px: 298/328, 32 px: 469/463,
-    64 px: 744/489."""
-    return wy == wx and 2 * step_x == wx and 8 <= wx < 32
+    (step = w/2 makes even/odd windows tile contiguously). Per-pair routing:
+    <= 32 px runs the tileband (round-5 shared-forward measurements, 1080p
+    pairs/s — 16 px: 943 vs XLA-era 252, 32 px: 953 tileband_sf vs 700
+    sliced); at 64 px the sliced-pack path stays ahead (1073 vs 1033 sf —
+    few windows per band make per-window slicing cheap while the packed
+    stats machinery still pays per-plane costs)."""
+    return wy == wx and 2 * step_x == wx and 8 <= wx <= 32
+
+
+def _tb_ens_splits(wy: int, wx: int, step_x: int, n_cols: int) -> int:
+    """Ensemble routing plan: the tileband ensemble beats the sliced
+    accumulator at EVERY window size (round-5 1080p pairs/s,
+    tileband/sliced — 16 px: 1274/—, 26 px: 890/—, 32 px: 1257/868,
+    64 px: 1288/1140), so route to it whenever the 50%-overlap square
+    geometry holds and a VMEM plan exists. Oversize grids whose packed
+    accumulator alone would blow the scope (4K at 64 px wants ~18 MB) are
+    COLUMN-SPLIT into the fewest window-grid chunks that fit (measured 4K
+    64 px: col-split x2 371 vs sliced 287 pairs/s, x3 341). Returns the
+    split count, or 0 when the kernel should not be used — a PLAN decision,
+    never the exception ladder (which strict mode turns into an error)."""
+    if not (wy == wx and 2 * step_x == wx and 8 <= wx <= 64):
+        return 0
+    py, px = _tb_shape(wx)
+    wp = -(-wx // 8) * 8
+    g2 = 2 * py * px
+    for k in (1, 2, 3, 4):
+        nc = -(-n_cols // k)
+        if k > 1 and nc < g2 // 2:  # degenerate chunks: less than one tile
+            break
+        n_t = 2 * (-(-nc // g2))
+        plane = n_t * (py * wp) * (-(-(px * wx) // 128) * 128) * 4
+        if 9 * plane <= (11 << 20):  # the bband=1 shared-forward live set
+            return k
+    return 0
+
+
+def _piv_ensemble_tb_chunks(
+    imgs, sas, steps, n_rows, n_cols, corr_min, s2n_min, interpret, bband,
+    share, n_splits,
+):
+    """Column-split tileband ensemble: the window grid is cut into n_splits
+    lane-contiguous chunks of ONE static shape (the last chunk overlaps
+    backward; its already-computed columns are sliced off), each launched
+    through ``_piv_ensemble_tb_jit`` on the lane-sliced frames."""
+    if n_splits == 1:
+        return _piv_ensemble_tb_jit(
+            imgs, sas, steps, n_rows, n_cols, corr_min, s2n_min, interpret, bband, share
+        )
+    w = sas[1]
+    step_x = steps[1]
+    nc = -(-n_cols // n_splits)
+    parts = []
+    prev_end = 0
+    for i in range(n_splits):
+        c0 = min(i * nc, n_cols - nc)
+        cs, cc, cm, sn = _piv_ensemble_tb_jit(
+            imgs[:, :, c0 * step_x:], sas, steps, n_rows, nc,
+            corr_min, s2n_min, interpret, bband, share,
+        )
+        keep = prev_end - c0  # columns already produced by earlier chunks
+        parts.append((
+            cs.reshape(n_rows, nc, w, w)[:, keep:],
+            cc.reshape(n_rows, nc)[:, keep:],
+            cm[:, :, keep:],
+            sn[:, :, keep:],
+        ))
+        prev_end = c0 + nc
+    corr_sum = jnp.concatenate([p[0] for p in parts], axis=1).reshape(n_rows * n_cols, w, w)
+    count = jnp.concatenate([p[1] for p in parts], axis=1).reshape(n_rows * n_cols)
+    cmax = jnp.concatenate([p[2] for p in parts], axis=2)
+    s2n = jnp.concatenate([p[3] for p in parts], axis=2)
+    return corr_sum, count, cmax, s2n
 
 
 def _piv_pairs_fused_strips(
@@ -2014,9 +2079,12 @@ def piv_ensemble_fused(
         )
     imgs = jnp.asarray(imgs)
     pack = _fused_plan(wy, wx, step_y)[0]
-    if _tileband_ok(wy, wx, step_x, pack):
-        # small windows (<32 px, the reference's shipped 16/26 px configs)
-        # run the tileband ensemble kernel: the per-pair tileband pipeline
+    tb_splits = _tb_ens_splits(wy, wx, step_x, n_cols)
+    if tb_splits:
+        # every 50%-overlap square config with a VMEM plan (incl. the
+        # reference's shipped 16/26 px, the 32/64 px staples, and col-split
+        # oversize grids — see _tb_ens_splits)
+        # runs the tileband ensemble kernel: the per-pair tileband pipeline
         # minus its u/v stencil stage, with a VMEM-resident packed corr-sum
         # over a (strips, pairs) grid and one frame slab DMA per pair. (An
         # earlier round-2-era packed-accumulator variant measured 10x slower
@@ -2029,15 +2097,18 @@ def piv_ensemble_fused(
         share_plan = [True, False] if share_fwd is None else [bool(share_fwd)]
         tb_failed = None
         for tb_share in share_plan:
-            bband = _tb_bband(wx, n_cols, share=tb_share)
+            bband = _tb_bband(wx, -(-n_cols // tb_splits), share=tb_share)
             while True:
                 try:
-                    out = _piv_ensemble_tb_jit(
+                    out = _piv_ensemble_tb_chunks(
                         imgs, (wy, wx), (step_y, step_x), n_rows, n_cols,
                         float(corr_min), float(s2n_min), bool(interpret), bband,
-                        tb_share,
+                        tb_share, tb_splits,
                     )
-                    _route("piv_ensemble_fused", "tileband")
+                    _route(
+                        "piv_ensemble_fused",
+                        "tileband" if tb_splits == 1 else "tileband_colsplit",
+                    )
                     return out
                 except Exception as e:
                     if not _recoverable(e):

@@ -242,8 +242,8 @@ def test_fused_small_windows_match_xla(rng, sas, dims):
         for t in piv_pallas.piv_pairs_fused(imgs, (h, w), sas, overlap, n_rows, n_cols, interpret=True)
     ]
     # a silent downgrade to the XLA pipeline would make this test vacuous
-    # (<32 px consecutive-frame stacks run the shared-forward tileband kernel)
-    want = "tileband_sf" if sas[0] < 32 else "sliced"
+    # (<=32 px consecutive-frame stacks run the shared-forward tileband kernel)
+    want = "tileband_sf" if sas[0] <= 32 else "sliced"
     assert piv_pallas.KERNEL_ROUTE["piv_pairs_fused"] == want
     for x, f in zip(out_x[:2], out_f[:2]):  # u, v
         assert x.shape == f.shape
@@ -455,8 +455,9 @@ def test_fused_ensemble_small_windows_match_scan(rng, sas, dims):
         frames, (h, w), sas, overlap, n_rows, n_cols, corr_min=0.1, s2n_min=1.5, interpret=True
     )
     # the packed kernel must actually have run — a silent downgrade to the
-    # XLA scan would make this test vacuous (round-4 regression)
-    want = "tileband" if sas[0] < 32 else "sliced"
+    # XLA scan would make this test vacuous (round-4 regression). The
+    # tileband ensemble now covers every fitting size (round 5).
+    want = "tileband"
     assert piv_pallas.KERNEL_ROUTE["piv_ensemble_fused"] == want
     for name, a, b in zip(("corr_sum", "count", "cmax", "s2n"), ref, out):
         a, b = np.asarray(a), np.asarray(b)
@@ -752,3 +753,43 @@ def test_shared_forward_pairs_matches_band_kernel(rng, win):
         assert piv_pallas.KERNEL_ROUTE["piv_pairs_fused"] == "tileband"
         for name, a, b in zip(("u", "v", "cmax", "s2n"), sf, band):
             assert np.array_equal(a[p], b[0], equal_nan=True), (name, p)
+
+
+def test_ensemble_colsplit_matches_single_launch(rng):
+    """Oversize window grids run the tileband ensemble column-split (4K at
+    64 px: the packed accumulator alone would blow the VMEM scope). The
+    chunked launch must be bit-exact against the single launch — the last
+    chunk overlaps backward to keep one static shape, and its
+    already-produced columns are sliced off."""
+    from pyorc_tpu.ops import piv_pallas
+    from pyorc_tpu.ops.piv import _strided_axis_starts
+    from pyorc_tpu.ops import windows as win_mod
+
+    h, w_img, w = 72, 320, 16
+    img = make_particle_image(rng, h, w_img)
+    frames = np.stack(
+        [shift_image(img, 1.5 * t, -0.5 * t) for t in range(4)]
+    ).astype(np.float32)
+    sas, ov = (w, w), (w // 2, w // 2)
+    n_rows, n_cols = windows.get_field_shape((h, w_img), sas, ov)
+    row0, col0 = win_mod.get_window_starts((h, w_img), sas, ov)
+    step_y = _strided_axis_starts(np.asarray(row0), w)
+    step_x = _strided_axis_starts(np.asarray(col0), w)
+    args = (frames, sas, (step_y, step_x), n_rows, n_cols, 0.2, 3.0, True, 1, True)
+    ref = piv_pallas._piv_ensemble_tb_chunks(*args, 1)
+    for k in (2, 3):
+        out = piv_pallas._piv_ensemble_tb_chunks(*args, k)
+        for name, a, b in zip(("corr_sum", "count", "cmax", "s2n"), ref, out):
+            assert np.array_equal(np.asarray(a), np.asarray(b), equal_nan=True), (name, k)
+
+
+def test_ensemble_split_plan():
+    """_tb_ens_splits: 1080p fits in one launch at every shipped size; the
+    4K 64 px grid column-splits; non-50%-overlap geometry is ineligible."""
+    from pyorc_tpu.ops import piv_pallas
+
+    assert piv_pallas._tb_ens_splits(16, 16, 8, 239) == 1   # 1080p 16 px
+    assert piv_pallas._tb_ens_splits(64, 64, 32, 59) == 1   # 1080p 64 px
+    assert piv_pallas._tb_ens_splits(64, 64, 32, 119) == 2  # 4K 64 px
+    assert piv_pallas._tb_ens_splits(64, 64, 16, 59) == 0   # 75% overlap
+    assert piv_pallas._tb_ens_splits(96, 96, 48, 40) == 0   # > 64 px

@@ -876,8 +876,12 @@ def _tb_bband(w: int, n_cols: int, share: bool = False) -> int:
     if share == "pairs":
         # shared-forward PER-PAIR kernel: the spectra cache's 2 extra planes
         # AND the peak-stencil stack's widest batch (sten5: 5 planes) are
-        # both live in the same launch
+        # both live in the same launch — but not simultaneously at peak, so
+        # its budget runs slightly hotter (measured: 26 px bband=2 compiles
+        # and gains +3.5%; bband=3 is a real overflow the retry ladder
+        # halves away on other shapes)
         per_band = 10 * plane
+        return max(1, min(int((13 << 20) // per_band), 4))
     return max(1, min(int((11 << 20) // per_band), 4))
 
 

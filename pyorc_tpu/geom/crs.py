@@ -475,6 +475,8 @@ _NULL_DATUM_PREFIXES = (
     "China 2000",
     "Korean Geodetic Datum 2002",
     "SIRGAS 2000",
+    "Sistema de Referencia Geocentrico para las AmericaS 2000",  # SIRGAS 2000
+    "Sistema de Referencia Geocentrico para America del Sur 1995",  # SIRGAS 1995
     "ETRS89",
 )
 

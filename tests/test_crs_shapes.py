@@ -344,6 +344,7 @@ _EPSG_GOLDEN = [
     (6677, 141.0, 43.0, 95122.087, 777760.022, "JGD2011 / Japan zone XII (TM)"),
     (3857, 5.92, 51.97, 659011.3855, 6794702.8862, "Web Mercator (pseudo-Mercator sphere)"),
     (3395, 5.92, 51.97, 659011.3855, 6761023.7485, "WGS84 / World Mercator (variant A)"),
+    (5641, -45.0, -25.0, 4777495.736960, 7144036.574858, "SIRGAS 2000 / Brazil Mercator (variant B)"),
 ]
 
 

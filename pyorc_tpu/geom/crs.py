@@ -512,6 +512,20 @@ def _projinfo_json(code: int) -> Optional[dict]:
         return None
 
 
+@functools.lru_cache(maxsize=256)
+def _projinfo_wkt(code: int) -> Optional[str]:
+    """Authoritative WKT2:2019 for an EPSG code from the system PROJ database."""
+    try:
+        out = subprocess.run(
+            ["projinfo", f"EPSG:{int(code)}", "-o", "WKT2:2019", "-q", "--single-line"],
+            capture_output=True, text=True, timeout=30,
+        )
+    except (OSError, subprocess.SubprocessError):
+        return None
+    s = out.stdout.strip()
+    return s if out.returncode == 0 and s else None
+
+
 def _unit_factor(unit) -> float:
     """Multiplier to SI (metres for lengths, degrees for angles)."""
     if isinstance(unit, dict):
@@ -978,6 +992,17 @@ class CRS:
     def to_wkt(self) -> str:
         if self.wkt:
             return self.wkt
+        if self.polar is not None or self.mercator is not None or self.unit != 1.0:
+            # families the built-in WKT renderers don't cover: use the
+            # authoritative registry WKT (these CRSs were themselves resolved
+            # through projinfo, so it is present whenever they exist)
+            w = _projinfo_wkt(self.epsg) if self.epsg else None
+            if w:
+                self.wkt = w
+                return w
+            raise NotImplementedError(
+                f"WKT serialization for {self!r} needs the system PROJ database (projinfo)"
+            )
         if self.geographic:
             return (
                 'GEOGCRS["WGS 84",DATUM["World Geodetic System 1984",'

@@ -429,3 +429,18 @@ def test_polar_stereographic_wkt_parses():
     e1, n1 = c_wkt.from_lonlat(120.0, -75.0)
     e2, n2 = c_epsg.from_lonlat(120.0, -75.0)
     assert abs(float(e1) - float(e2)) < 1e-9 and abs(float(n1) - float(n2)) < 1e-9
+
+
+@pytest.mark.skipif(not _projinfo_available(), reason="system PROJ database unavailable")
+def test_new_family_wkt_roundtrip():
+    """to_wkt() for registry-resolved polar/Mercator/foot-unit CRSs returns
+    the authoritative WKT2 (the netCDF/GeoTIFF writers embed it), and it
+    parses back to an equal CRS."""
+    from pyorc_tpu.geom.crs import CRS
+
+    for code in (3031, 3857, 2278, 5041):
+        c = CRS.from_epsg(code)
+        w = c.to_wkt()
+        assert f'"EPSG",{code}' in w.replace(" ", ""), code
+        c2 = CRS.from_user_input(w)
+        assert c2 == c, f"EPSG:{code} WKT round-trip broke equality"

@@ -199,11 +199,12 @@ def _parity_config(window: int, h: int = 1088, w: int = 1920):
 def _bench_chain_4k(window: int = 64, n_frames: int = 33):
     """Measured 4K normalize+orthorectify+ensemble-PIV chain, pairs/s on-chip.
 
-    Runs the SAME ops the lazy frame chain dispatches per chunk
-    (flt.normalize_with_mean -> ortho.project_batch -> piv_ensemble_fused)
-    on device-synthesized uint8 4K frames with the bench_e2e camera config's
-    real ortho index maps, so the number is the chip-bound rate of the whole
-    BASELINE workload minus decode.
+    Runs the SAME ops the lazy frame chain dispatches per chunk — since the
+    upload-crop landed that is flt.normalize_with_stats on bbox-cropped
+    frames (extrema host-supplied) -> ortho.project_batch with crop-rebased
+    maps -> piv_ensemble_fused — on device-synthesized uint8 frames with the
+    bench_e2e camera config's real ortho index maps, so the number is the
+    chip-bound rate of the whole BASELINE workload minus decode.
     """
     import jax
     import jax.numpy as jnp
@@ -218,6 +219,8 @@ def _bench_chain_4k(window: int = 64, n_frames: int = 33):
     y = np.flipud(np.linspace(cc.resolution / 2, cc.resolution * (shape[0] - 0.5), shape[0]))
     x = np.linspace(cc.resolution / 2, cc.resolution * (shape[1] - 0.5), shape[1])
     maps = ortho_ops.build_ortho_maps(cc, x, y, 0.0, reducer="mean")
+    r0, r1, c0, c1 = ortho_ops.source_bbox(maps)
+    maps = ortho_ops.crop_maps(maps, r0, c0, r1 - r0, c1 - c0)
     oh, ow = maps.shape_out
     sas = (window, window)
     overlap = (window // 2, window // 2)
@@ -225,12 +228,14 @@ def _bench_chain_4k(window: int = 64, n_frames: int = 33):
 
     key = jax.random.PRNGKey(3)
     frames = jax.block_until_ready(
-        jax.random.randint(key, (n_frames, H_IMG, W_IMG), 0, 255, jnp.int32).astype(jnp.uint8)
+        jax.random.randint(key, (n_frames, r1 - r0, c1 - c0), 0, 255, jnp.int32).astype(jnp.uint8)
     )
-    mean_img = jnp.zeros((H_IMG, W_IMG), jnp.float32) + 127.0
+    mean_img = jnp.zeros((r1 - r0, c1 - c0), jnp.float32) + 127.0
+    fmin = jnp.full((n_frames, 1, 1), -127.0, jnp.float32)
+    fmax = jnp.full((n_frames, 1, 1), 128.0, jnp.float32)
 
     def chain(f):
-        f = flt.normalize_with_mean(f, mean_img)
+        f = flt.normalize_with_stats(f, mean_img, fmin, fmax)
         f = ortho_ops.project_batch(f, maps)
         cs, cnt, cmax, s2n = piv_pallas.piv_ensemble_fused(
             f, (oh, ow), sas, overlap, n_rows, n_cols, 0.2, 3.0, None

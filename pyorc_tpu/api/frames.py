@@ -9,6 +9,7 @@ the PIV hot loop streams through the device (:mod:`pyorc_tpu.velocimetry`).
 from __future__ import annotations
 
 import copy
+import os
 from typing import Optional
 
 import logging
@@ -57,7 +58,7 @@ class Frames(ORCBase):
     def _put_time_sharded(chunk):
         return _put_time_sharded(chunk)
 
-    def _map_device(self, fn, batch: int = 64, out_dtype=None):
+    def _map_device(self, fn, batch: int = 64, out_dtype=None, halo=None, rebase=None, host_stats=None):
         """Apply a jitted per-frame op over the frame stack.
 
         Lazy-backed stacks (video decode) stay LAZY: the op is appended to
@@ -65,6 +66,19 @@ class Frames(ORCBase):
         thread, so decode -> filter chains stream through the PIV loop
         without materializing the whole (potentially tens-of-GB) stack.
         In-memory stacks are mapped eagerly in device batches.
+
+        ``halo``/``rebase`` declare crop compatibility for the upload-crop
+        optimization in :meth:`project`: ``halo`` is the op's spatial support
+        radius in pixels (0 for elementwise ops, the stencil radius for
+        convolutions, None = cropping not supported); ``rebase`` optionally
+        builds a replacement chunk-fn for input frames cropped to
+        ``[r0:r1, c0:c1]`` (needed when the op captures a full-frame constant,
+        e.g. normalize's mean image). ``rebase=None`` with a halo means the
+        same fn is shape-agnostic and runs on cropped chunks unchanged.
+        ``host_stats`` declares a GLOBAL per-frame dependency that cropping
+        would break (e.g. normalize's rescale extrema): a host fn
+        ``(full_batch) -> aux`` evaluated on the decoded batch BEFORE the
+        crop; the op returned by ``rebase`` must then accept ``(chunk, aux)``.
         """
         import jax
 
@@ -73,6 +87,10 @@ class Frames(ORCBase):
         data = self._obj.data
         if isinstance(data, LazyFrames):
             op = lambda chunk: fn(_put_time_sharded(chunk))
+            if halo is not None:
+                op._pyorc_halo = int(halo)
+                op._pyorc_rebase = rebase
+                op._pyorc_host_stats = host_stats
             return data.with_op(op, dtype=out_dtype)
         n = data.shape[0]
         outs = []
@@ -106,14 +124,48 @@ class Frames(ORCBase):
         # device-put once: the op below runs per streamed chunk, and the mean
         # image is tens of MB at 4K — re-uploading it each chunk would rival
         # the filter's own cost
-        mean = jax.device_put(sampled.mean(axis=0))
-        out = self._map_device(lambda f: flt.normalize_with_mean(f, mean))
+        mean_h = sampled.mean(axis=0).astype(np.float32)
+        mean = jax.device_put(mean_h)
+
+        def host_stats(batch):
+            # per-frame rescale extrema of (frame - mean) over the FULL frame,
+            # in float32 — bit-identical to the device reduction (subtract and
+            # min/max round identically and are order-independent). Framewise
+            # loop keeps the float32 temp at one frame, not one batch.
+            mins, maxs = [], []
+            for f in batch:
+                red = np.asarray(f, dtype=np.float32) - mean_h
+                mins.append(red.min(axis=(-2, -1), keepdims=True))
+                maxs.append(red.max(axis=(-2, -1), keepdims=True))
+            return np.stack(mins), np.stack(maxs)
+
+        def rebase(r0, r1, c0, c1):
+            mean_c = jax.device_put(np.ascontiguousarray(mean_h[r0:r1, c0:c1]))
+
+            def run(chunk, aux):
+                fmin, fmax = aux
+                return flt.normalize_with_stats(
+                    _put_time_sharded(chunk), mean_c, jax.device_put(fmin), jax.device_put(fmax)
+                )
+
+            return run
+
+        out = self._map_device(
+            lambda f: flt.normalize_with_mean(f, mean),
+            halo=0,
+            rebase=rebase,
+            host_stats=host_stats,
+        )
         return self._with_data(out)
 
     def edge_detect(self, wdw_1: int = 1, wdw_2: int = 2) -> ndx.DataArray:
         stride_1 = wdw_1 * 2 + 1
         stride_2 = wdw_2 * 2 + 1
-        out = self._map_device(lambda f: flt.edge_detect(f, stride_1, stride_2), out_dtype=np.float32)
+        out = self._map_device(
+            lambda f: flt.edge_detect(f, stride_1, stride_2),
+            out_dtype=np.float32,
+            halo=max(stride_1, stride_2) // 2,
+        )
         if isinstance(out, np.ndarray):
             out = out.astype(np.float32)
         return self._with_data(out)
@@ -121,7 +173,9 @@ class Frames(ORCBase):
     def minmax(self, min: float = -np.inf, max: float = np.inf) -> ndx.DataArray:
         dtype = self._obj.dtype
         out = self._map_device(
-            lambda f: flt.minmax(f, float(min), float(max)).astype(dtype), out_dtype=dtype
+            lambda f: flt.minmax(f, float(min), float(max)).astype(dtype),
+            out_dtype=dtype,
+            halo=0,
         )
         if isinstance(out, np.ndarray):
             out = out.astype(dtype)
@@ -151,7 +205,9 @@ class Frames(ORCBase):
 
     def smooth(self, wdw: int = 1) -> ndx.DataArray:
         stride = wdw * 2 + 1
-        out = self._map_device(lambda f: flt.gaussian_blur(f, stride), out_dtype=np.float32)
+        out = self._map_device(
+            lambda f: flt.gaussian_blur(f, stride), out_dtype=np.float32, halo=stride // 2
+        )
         if isinstance(out, np.ndarray):
             out = out.astype(np.float32)
         return self._with_data(out)
@@ -190,6 +246,41 @@ class Frames(ORCBase):
         is_rgb = "rgb" in self._obj.dims
         src_dtype = self._obj.dtype
 
+        from .video import LazyFrames
+
+        data = self._obj.data
+
+        # upload-crop: the ortho maps usually read a sub-rectangle of the
+        # camera frame (the AOI bbox in pixel space). When every op already
+        # on the lazy chain declares crop compatibility, crop each decoded
+        # batch on the HOST to that box (padded by the ops' stencil halos),
+        # rebase the maps and the ops, and upload only the cropped pixels —
+        # bit-identical output, proportionally less host->device traffic.
+        crop_slices = None
+        if (
+            isinstance(data, LazyFrames)
+            and not os.environ.get("PYORC_TPU_NO_UPLOAD_CROP")
+            and all(hasattr(op, "_pyorc_halo") for op in data._ops)
+            # ops with a global (full-frame) dependency are only croppable in
+            # first position, where their input — the decoded batch — still
+            # exists to compute host stats on
+            and not any(
+                op._pyorc_host_stats is not None for op in data._ops[1:]
+            )
+        ):
+            box = ortho_ops.source_bbox(maps)
+            if box is not None:
+                H, W = maps.shape_in
+                halo = sum(op._pyorc_halo for op in data._ops)
+                r0 = max(box[0] - halo, 0)
+                r1 = min(box[1] + halo, H)
+                c0 = max(box[2] - halo, 0)
+                c1 = min(box[3] + halo, W)
+                hc, wc = r1 - r0, c1 - c0
+                if hc * wc <= 0.95 * H * W:
+                    maps = ortho_ops.crop_maps(maps, r0, c0, hc, wc)
+                    crop_slices = (r0, r1, c0, c1)
+
         def project_chunk(chunk):
             import jax.numpy as jnp
 
@@ -202,14 +293,38 @@ class Frames(ORCBase):
                 out = ortho_ops.project_batch(chunk, maps)
             return out
 
-        from .video import LazyFrames
-
-        data = self._obj.data
         if isinstance(data, LazyFrames):
             # projection rides the lazy op chain: decode -> filters -> ortho
             # stream per batch in the prefetch thread, staying device-resident
             import jax
             import jax.numpy as jnp
+
+            if crop_slices is not None:
+                r0, r1, c0, c1 = crop_slices
+                stats0 = (
+                    data._ops[0]._pyorc_host_stats if data._ops else None
+                )
+
+                def crop_op(batch):
+                    aux = stats0(batch) if stats0 is not None else None
+                    batch = batch[:, r0:r1, c0:c1]
+                    if isinstance(batch, np.ndarray):
+                        # contiguous host buffer keeps device_put on the fast path
+                        batch = np.ascontiguousarray(batch)
+                    return batch if aux is None else (batch, aux)
+
+                rebased = [
+                    op if getattr(op, "_pyorc_rebase", None) is None
+                    else op._pyorc_rebase(r0, r1, c0, c1)
+                    for op in data._ops
+                ]
+                if stats0 is not None:
+                    # first op consumes (chunk, aux) — aux is its full-frame
+                    # stats, computed by crop_op before pixels were dropped
+                    reb0 = rebased[0]
+                    rebased[0] = lambda payload: reb0(payload[0], payload[1])
+                pre_shape = (r1 - r0, c1 - c0) + ((3,) if is_rgb else ())
+                data = data.with_chain([crop_op] + rebased, frame_shape=pre_shape)
 
             fshape = (len(y), len(x), 3) if is_rgb else (len(y), len(x))
             out = data.with_op(

@@ -55,6 +55,22 @@ class LazyFrames:
             ops=self._ops + [fn],
         )
 
+    def with_chain(self, ops, frame_shape=None, dtype=None) -> "LazyFrames":
+        """A new view with the op chain REPLACED by ``ops`` (same decode).
+
+        Used by ``Frames.project`` to rebuild the chain with a host-side crop
+        prepended and crop-rebased filter ops, so the per-chunk upload moves
+        only the pixels the ortho maps read.
+        """
+        return LazyFrames(
+            self._video,
+            self._method,
+            self._indices,
+            frame_shape if frame_shape is not None else self._frame_shape,
+            dtype if dtype is not None else self.dtype,
+            ops=list(ops),
+        )
+
     @property
     def shape(self):
         return (len(self._indices),) + self._frame_shape

@@ -98,6 +98,19 @@ def normalize_with_mean(frames, mean):
     return ((reduce - fmin) / (fmax - fmin) * 255).astype(jnp.uint8)
 
 
+@jax.jit
+def normalize_with_stats(frames, mean, fmin, fmax):
+    """``normalize_with_mean`` with the per-frame min/max supplied.
+
+    Used by the upload-crop path in Frames.project: the rescale extrema are a
+    GLOBAL per-frame reduction, so on cropped frames they must come from the
+    full frame — computed bit-exactly on the host (subtract and min/max are
+    exact, order-independent float32 ops) before the crop discards pixels.
+    """
+    reduce = frames.astype(jnp.float32) - mean
+    return ((reduce - fmin) / (fmax - fmin) * 255).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def time_diff(frames, thres: float = 0.0, abs: bool = False):
     """Temporal differencing (reference pyorc/api/frames.py:409-436)."""

@@ -28,7 +28,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["OrthoMaps", "build_ortho_maps", "project_batch"]
+__all__ = [
+    "OrthoMaps",
+    "build_ortho_maps",
+    "project_batch",
+    "source_bbox",
+    "crop_maps",
+]
 
 
 class OrthoMaps(NamedTuple):
@@ -91,6 +97,75 @@ def build_ortho_maps(camera_config, x, y, z, reducer: str = "mean") -> OrthoMaps
         shape_out=(ny, nx),
         row_idx=row_idx,
         col_idx=col_idx,
+    )
+
+
+def source_bbox(maps: OrthoMaps) -> Optional[Tuple[int, int, int, int]]:
+    """Source-pixel bounding box ``(r0, r1, c0, c1)`` (half-open) actually
+    read by the maps, or None when the maps read nothing.
+
+    The ortho grid typically consumes a sub-rectangle of the camera frame
+    (the AOI bbox re-projected into pixel space); everything outside it never
+    influences the output, so callers can crop frames to this box *before*
+    the host->device upload (see ``crop_maps``) and move proportionally fewer
+    bytes per chunk.
+    """
+    h, w = maps.shape_in
+    if maps.row_idx is not None:
+        r0, r1 = int(maps.row_idx.min()), int(maps.row_idx.max()) + 1
+        c0, c1 = int(maps.col_idx.min()), int(maps.col_idx.max()) + 1
+        return (r0, r1, c0, c1)
+    n_src = h * w
+    used = maps.full_idx[maps.full_idx < n_src]
+    if maps.src_idx is not None:
+        used = np.concatenate([used, maps.src_idx])
+    if len(used) == 0:
+        return None
+    rows = used // w
+    cols = used % w
+    return (int(rows.min()), int(rows.max()) + 1, int(cols.min()), int(cols.max()) + 1)
+
+
+def crop_maps(maps: OrthoMaps, r0: int, c0: int, hc: int, wc: int) -> OrthoMaps:
+    """Rebase the maps onto frames pre-cropped to ``[r0:r0+hc, c0:c0+wc]``.
+
+    Every source index must fall inside the crop (use ``source_bbox`` to
+    compute a covering box); results are bit-identical to projecting the
+    uncropped frames with the original maps.
+    """
+    h, w = maps.shape_in
+    n_src = h * w
+    n_crop = hc * wc
+    if maps.row_idx is not None:
+        row_idx = (maps.row_idx - r0).astype(np.int32)
+        col_idx = (maps.col_idx - c0).astype(np.int32)
+        assert row_idx.min() >= 0 and row_idx.max() < hc
+        assert col_idx.min() >= 0 and col_idx.max() < wc
+        fi2 = row_idx[:, None].astype(np.int64) * wc + col_idx[None, :]
+        return maps._replace(
+            full_idx=fi2.reshape(-1).astype(np.int32),
+            shape_in=(hc, wc),
+            row_idx=row_idx,
+            col_idx=col_idx,
+        )
+
+    def rebase(idx):
+        idx = np.asarray(idx, dtype=np.int64)
+        rr = idx // w - r0
+        cc = idx % w - c0
+        if idx.size:
+            assert rr.min() >= 0 and rr.max() < hc and cc.min() >= 0 and cc.max() < wc
+        return rr * wc + cc
+
+    full_idx = np.asarray(maps.full_idx, dtype=np.int64)
+    src = full_idx < n_src
+    out = np.empty_like(full_idx)
+    out[src] = rebase(full_idx[src])
+    # sentinel and mean-block entries shift with the new source size
+    out[~src] = full_idx[~src] - n_src + n_crop
+    src_idx = None if maps.src_idx is None else rebase(maps.src_idx).astype(np.int32)
+    return maps._replace(
+        full_idx=out.astype(np.int32), src_idx=src_idx, shape_in=(hc, wc)
     )
 
 

@@ -229,6 +229,120 @@ def test_ortho_separable_fast_path(rng):
     assert ortho_ops._arith_spec(np.array([4, 6, 8], np.int32)) == (4, 9, 2)
 
 
+def test_crop_maps_bit_parity(rng):
+    """crop_maps + cropped frames reproduce the uncropped projection exactly,
+    for both the generic (gather + group-mean) and separable map forms."""
+    from pyorc_tpu.ops import ortho as ortho_ops
+
+    H, W, ny, nx = 48, 80, 20, 30
+    # generic maps touching a sub-box [10:38, 14:70], with mean groups
+    rows = rng.integers(10, 38, ny * nx)
+    cols = rng.integers(14, 70, ny * nx)
+    full_idx = (rows.astype(np.int64) * W + cols).astype(np.int32)
+    n_mean = 17
+    src_idx = (
+        rng.integers(10, 38, 4 * n_mean).astype(np.int64) * W
+        + rng.integers(14, 70, 4 * n_mean)
+    ).astype(np.int32)
+    norm_idx = np.repeat(np.arange(n_mean, dtype=np.int32), 4)
+    counts = np.full(n_mean, 4.0, np.float32)
+    # some cells read the mean block, one reads the zero sentinel
+    full_idx[: n_mean] = H * W + 1 + np.arange(n_mean, dtype=np.int32)
+    full_idx[n_mean] = H * W
+    maps = ortho_ops.OrthoMaps(
+        full_idx=full_idx, src_idx=src_idx, norm_idx=norm_idx, counts=counts,
+        shape_in=(H, W), shape_out=(ny, nx),
+    )
+    frames = rng.integers(0, 255, (3, H, W)).astype(np.uint8)
+    box = ortho_ops.source_bbox(maps)
+    assert box is not None
+    r0, r1, c0, c1 = box
+    assert 0 < r0 and r1 <= 38 and 0 < c0 and c1 <= 70
+    cmaps = ortho_ops.crop_maps(maps, r0, c0, r1 - r0, c1 - c0)
+    full = np.asarray(ortho_ops.project_batch(frames, maps))
+    cropped = np.asarray(
+        ortho_ops.project_batch(np.ascontiguousarray(frames[:, r0:r1, c0:c1]), cmaps)
+    )
+    assert np.array_equal(full, cropped)
+
+    # separable maps
+    row_idx = (np.arange(ny) + 7).astype(np.int32)
+    col_idx = (np.arange(nx) * 2 + 5).astype(np.int32)
+    fi = (row_idx[:, None].astype(np.int64) * W + col_idx[None, :]).ravel().astype(np.int32)
+    smaps = ortho_ops.OrthoMaps(
+        full_idx=fi, src_idx=None, norm_idx=None, counts=None,
+        shape_in=(H, W), shape_out=(ny, nx), row_idx=row_idx, col_idx=col_idx,
+    )
+    sb = ortho_ops.source_bbox(smaps)
+    sc = ortho_ops.crop_maps(smaps, sb[0], sb[2], sb[1] - sb[0], sb[3] - sb[2])
+    assert np.array_equal(
+        np.asarray(ortho_ops.project_batch(frames, smaps)),
+        np.asarray(
+            ortho_ops.project_batch(
+                np.ascontiguousarray(frames[:, sb[0] : sb[1], sb[2] : sb[3]]), sc
+            )
+        ),
+    )
+
+
+def test_upload_crop_chain_parity(frames, vid):
+    """The lazy decode -> filters -> project chain with the host-side upload
+    crop must match the eager (uncropped, in-memory) path bit for bit —
+    including when the frame's (frame - mean) extrema fall OUTSIDE the crop
+    box (normalize's global rescale; the 7-frame/samples=4 configuration on
+    the geul video has out-of-box extrema), and with stencil filters whose
+    halo pads the crop box."""
+    from pyorc_tpu.api.video import LazyFrames
+
+    assert isinstance(frames.data, LazyFrames)
+    lazy = frames.frames.normalize(samples=4).frames.project()
+    # the crop actually engaged: the chain's first op slices the decode
+    # batch and carries normalize's full-frame stats alongside
+    ops = lazy.data._ops
+    assert len(ops) == 3, "expected [crop, normalize, project]"
+    probe = np.zeros((1, 1080, 1920), np.uint8)
+    cropped, aux = ops[0](probe)
+    assert cropped.shape[1:] != (1080, 1920), "crop op did not shrink the frame"
+    assert aux is not None
+
+    eager_frames = frames.frames._with_data(np.asarray(frames.data))
+    eager = eager_frames.frames.normalize(samples=4).frames.project()
+    assert np.array_equal(np.asarray(lazy.values), np.asarray(eager.values))
+
+    lazy2 = frames.frames.normalize(samples=4).frames.edge_detect().frames.project()
+    assert len(lazy2.data._ops) == 4, "expected [crop, normalize, edge_detect, project]"
+    eager2 = eager_frames.frames.normalize(samples=4).frames.edge_detect().frames.project()
+    assert np.array_equal(np.asarray(lazy2.values), np.asarray(eager2.values))
+
+
+def test_normalize_rebase_uses_full_frame_extrema(frames):
+    """The rebased normalize op must rescale with extrema of the FULL frame
+    (host-computed before the crop), not of the cropped view — cropped-view
+    extrema would change every output pixel."""
+    nm = frames.frames.normalize(samples=4)
+    op = nm.data._ops[-1]
+    assert op._pyorc_host_stats is not None and op._pyorc_rebase is not None
+
+    batch = np.asarray(frames.data[:3])
+    H, W = batch.shape[1:]
+    r0, r1, c0, c1 = H // 3, 2 * H // 3, W // 3, 2 * W // 3
+    aux = op._pyorc_host_stats(batch)
+
+    # precondition: the extrema really lie outside the central box, so
+    # full-frame and cropped stats are distinguishable
+    ti = round(frames.shape[0] / 4)
+    mean_h = np.asarray(frames.data[::ti]).astype(np.float32).mean(axis=0).astype(np.float32)
+    red_c = batch.astype(np.float32)[:, r0:r1, c0:c1] - mean_h[r0:r1, c0:c1]
+    cmin = red_c.min(axis=(1, 2), keepdims=True)
+    cmax = red_c.max(axis=(1, 2), keepdims=True)
+    assert (np.asarray(aux[0]) != cmin).any() or (np.asarray(aux[1]) != cmax).any()
+
+    reb = op._pyorc_rebase(r0, r1, c0, c1)
+    out_full = np.asarray(op(batch))[:, r0:r1, c0:c1]
+    out_crop = np.asarray(reb(np.ascontiguousarray(batch[:, r0:r1, c0:c1]), aux))
+    assert np.array_equal(out_full, out_crop)
+
+
 def test_to_geotiff_roundtrip(frames, tmp_path):
     """Projected frames export to GeoTIFF (single + batch) with correct
     georeferencing tags; unprojected frames refuse (reference

@@ -136,6 +136,12 @@ def main():
     proj = da.frames.project()
     stages["lazy_chain_setup"] = time.perf_counter() - t0  # incl. sampled-mean decode
 
+    # per-frame upload footprint after the host-side bbox crop (probe the
+    # chain's first op; it returns (cropped, stats) when the crop engaged)
+    probe = proj.data._ops[0](np.zeros((1, H_IMG, W_IMG), np.uint8))
+    upl_shape = (probe[0] if isinstance(probe, tuple) else probe).shape[1:]
+    upload_gb = n_frames * int(np.prod(upl_shape)) / 1e9
+
     t0 = time.perf_counter()
     piv = proj.frames.get_piv(window_size=args.window, ensemble_corr=True)
     stages["decode_ortho_piv"] = time.perf_counter() - t0
@@ -186,6 +192,7 @@ def main():
                 "est_v5e8_seconds_extrapolated": round(est_v5e8, 2),
                 "n_frames": n_frames,
                 "host_cores": os.cpu_count(),
+                "upload_gb": round(upload_gb, 2),
             }
         )
     )

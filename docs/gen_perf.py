@@ -103,6 +103,12 @@ def render_e2e(e: dict) -> str:
     """One paragraph from E2E_60S.json (the committed full-60s run)."""
     st = e["stages_s"]
     decode_floor = e["n_frames"] / e["decode_fps"]
+    full_gb = e["n_frames"] * 3840 * 2160 / 1e9
+    upl = e.get("upload_gb", full_gb)
+    upl_txt = (
+        f"~{upl:.0f} GB of tunneled frame uploads"
+        + (f" (bbox-cropped from {full_gb:.0f} GB)" if upl < 0.95 * full_gb else "")
+    )
     return "\n".join([
         E2E_BEGIN,
         f"`E2E_60S.json` (measured at HEAD): **{e['value']} s** single-chip wall"
@@ -111,8 +117,8 @@ def render_e2e(e: dict) -> str:
         f" {st['lazy_chain_setup']} s, decode+ortho+PIV {st['decode_ortho_piv']} s,"
         f" transect+discharge {st['transect_discharge']} s). The pipeline stage is"
         f" bounded below by {decode_floor:.0f} s of single-core"
-        f" {e['decode_fps']} fps H.264 decode and dominated by ~15 GB of tunneled"
-        f" frame uploads; the labeled extrapolation"
+        f" {e['decode_fps']} fps H.264 decode and dominated by {upl_txt};"
+        f" the labeled extrapolation"
         f" ({e['est_v5e8_seconds_extrapolated']} s on a v5e-8 with this host) is"
         f" decode-limited, i.e. entirely a host-CPU artifact of the"
         f" {e['host_cores']}-core container.",
